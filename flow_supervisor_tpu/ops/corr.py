@@ -1,0 +1,130 @@
+"""All-pairs correlation volume, pooled pyramid, and (2r+1)^2 bilinear lookup.
+
+Behavioral contract (matching reference ``raft/allfield.py``):
+
+- ``all_pairs_correlation``: corr[b, i, j, k, l] = <fmap1[b,i,j], fmap2[b,k,l]> / sqrt(C)
+  (``calc_all_field``, allfield.py:62-92). The matmul accumulates in fp32 on the MXU.
+- ``build_corr_pyramid``: level i pools the ORIGINAL volume's last two (target) dims
+  with an average pool of kernel=stride=2^i and TF 'SAME' padding, where edge
+  windows average only the valid taps (allfield.py:80-92 pools with scale 2,4,8
+  applied to the unpooled volume each time — NOT cascaded).
+- ``corr_pyramid_lookup``: for each level i, bilinearly samples the volume at
+  coords/2^i + delta for every offset delta in the (2r+1)^2 window; out-of-bounds
+  taps contribute 0; offsets are enumerated dx-major / dy-minor, matching the TF
+  reference's channel order (``smurf_corr_block``, allfield.py:109-135); levels are
+  concatenated along channels.
+- ``transpose_corr_volume``: swap source/target pixels so one matmul serves both
+  flow directions (reference backward-flow trick, raft/unsup.py:122-127).
+
+The lookup is expressed as one batched ``take_along_axis`` gather per corner over
+the flattened target axis — static shapes, no scatter; a fused Pallas kernel in
+``flow_supervisor_tpu.kernels`` replaces volume materialization on the hot path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def all_pairs_correlation(
+    fmap1: jax.Array, fmap2: jax.Array, out_dtype=jnp.float32
+) -> jax.Array:
+    """corr volume [B, H, W, H, W] = fmap1 . fmap2^T / sqrt(C)."""
+    b, h, w, c = fmap1.shape
+    a = fmap1.reshape(b, h * w, c)
+    bb = fmap2.reshape(b, h * w, c)
+    corr = jax.lax.dot_general(
+        a,
+        bb,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    return corr.astype(out_dtype).reshape(b, h, w, h, w)
+
+
+def _avg_pool_same(vol: jax.Array, k: int) -> jax.Array:
+    """TF-style 'SAME' average pool with kernel=stride=k over the last two dims,
+    dividing each window by its number of in-bounds taps."""
+    b, h1, w1, h2, w2 = vol.shape
+    window = (1, 1, 1, k, k)
+    summed = jax.lax.reduce_window(
+        vol, 0.0, jax.lax.add, window, window, "SAME"
+    )
+    ones = jnp.ones((1, 1, 1, h2, w2), vol.dtype)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, window, window, "SAME"
+    )
+    return summed / counts
+
+
+def build_corr_pyramid(vol: jax.Array, num_levels: int = 4) -> list[jax.Array]:
+    """[vol, pool_2(vol), pool_4(vol), ...] — each level pools the original volume."""
+    pyramid = [vol]
+    scale = 2
+    for _ in range(num_levels - 1):
+        pyramid.append(_avg_pool_same(vol, scale))
+        scale *= 2
+    return pyramid
+
+
+def transpose_corr_volume(vol: jax.Array) -> jax.Array:
+    """Swap (source, target) pixel axes: [B, H, W, h, w] -> [B, h, w, H, W]."""
+    return jnp.transpose(vol, (0, 3, 4, 1, 2))
+
+
+def _lookup_window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
+    """[(2r+1)^2, 2] (x, y) offsets, dx-major / dy-minor (TF reference order)."""
+    r = radius
+    k = 2 * r + 1
+    dx = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) - r
+    dy = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1) - r
+    return jnp.stack([dx, dy], axis=-1).reshape(k * k, 2).astype(dtype)
+
+
+def _lookup_level(vol: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Sample one pyramid level.
+
+    vol:    [B, h1, w1, h2, w2] correlation at this level
+    coords: [B, h1, w1, 2] query centers (x, y), already divided by 2^level
+    out:    [B, h1, w1, (2r+1)^2]
+    """
+    b, h1, w1, h2, w2 = vol.shape
+    k2 = (2 * radius + 1) ** 2
+    flat = vol.reshape(b, h1 * w1, h2 * w2)
+
+    delta = _lookup_window_offsets(radius, coords.dtype)  # [k2, 2]
+    q = coords.reshape(b, h1 * w1, 1, 2) + delta[None, None]  # [B, Q, k2, 2]
+
+    x, y = q[..., 0], q[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+
+    def tap(xi, yi, wgt):
+        valid = (xi >= 0) & (xi <= w2 - 1) & (yi >= 0) & (yi <= h2 - 1)
+        xi_c = jnp.clip(xi, 0, w2 - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h2 - 1).astype(jnp.int32)
+        idx = yi_c * w2 + xi_c  # [B, Q, k2]
+        vals = jnp.take_along_axis(flat, idx, axis=2)
+        return vals * jnp.where(valid, wgt, 0.0).astype(vals.dtype)
+
+    out = (
+        tap(x0, y0, (1.0 - dx) * (1.0 - dy))
+        + tap(x0 + 1.0, y0, dx * (1.0 - dy))
+        + tap(x0, y0 + 1.0, (1.0 - dx) * dy)
+        + tap(x0 + 1.0, y0 + 1.0, dx * dy)
+    )
+    return out.reshape(b, h1, w1, k2)
+
+
+def corr_pyramid_lookup(
+    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Concatenated window samples over all levels: [B, h1, w1, L*(2r+1)^2]."""
+    outs = []
+    for i, vol in enumerate(pyramid):
+        outs.append(_lookup_level(vol, coords / (2.0**i), radius))
+    return jnp.concatenate(outs, axis=-1)
