@@ -1,0 +1,162 @@
+"""Experiment configuration with save-beside-checkpoint YAML semantics.
+
+Replaces the reference's cargbox + python-box config stack (SURVEY.md §5): every
+model class contributes flags (``get_argparse`` chain raft/__init__.py:178 ->
+baseline.py:116 -> unsup.py:259 -> semi.py:539), and the parsed config is saved
+as YAML next to the checkpoint dir so evaluate/extract reconstruct the exact
+training config (train.py:80-87, evaluate.py:76-79).
+
+Here: one flat dataclass per concern, composed into ``ExperimentConfig``;
+``save_yaml`` / ``load_yaml`` / ``maybe_restore`` give the same persistence
+semantics without an external dependency.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from argparse import ArgumentParser
+from typing import Any, Optional
+
+import yaml
+
+CONFIG_FILENAME = "args.yaml"
+
+
+@dataclasses.dataclass
+class ModelCfg:
+    model_type: str = "raft-baseline"  # raft-baseline | raft-unsup | raft-semi | gma-*
+    small: bool = False
+    iters: int = 12
+    dropout: float = 0.0
+    corr_levels: int = 4
+    corr_radius: int = 4
+    # semi / flow-supervisor (reference semi.py:539-552)
+    teacher_iters: int = 12
+    sup_weight: float = 1.0
+    unsup_weight: float = 1.0
+    lfr_weight: float = 1.0
+    lfl_weight: float = 1.0
+    sup_label_loss_weight: float = 1.0
+    teacher_smurf_weight: float = 0.0
+    lfl_loss_decay_rate: float = 0.8
+    lfr_loss_type: str = "robust"
+    stop_teacher_gradient: bool = True
+    # unsupervised loss weights (reference unsup.py:259-274)
+    census_weight: float = 1.0
+    smooth1_weight: float = 0.0
+    smooth2_weight: float = 2.0
+    selfsup_weight: float = 0.0
+    occlusion: str = "wang"  # wang | brox | none
+    unsup_loss_decay_rate: float = 0.8
+    teacher_smurf_loss: bool = False
+    use_bw: bool = True
+    # precision
+    compute_dtype: str = "bfloat16"  # bfloat16 | float32
+
+
+@dataclasses.dataclass
+class TrainCfg:
+    stage: str = "chairs"
+    batch_size: int = 8
+    image_size: tuple[int, int] = (368, 496)
+    unsup_image_size: tuple[int, int] = (368, 768)
+    full_size: tuple[int, int] = (440, 1024)  # static full-image frame for semi
+    lr: float = 4e-4
+    lr_schedule: str = "onecycle"  # onecycle | exponential | smurf | constant
+    lr_decay_steps: int = 25000
+    lr_decay_rate: float = 0.5
+    min_lr: float = 1e-8
+    weight_decay: float = 1e-4
+    clip_norm: float = 1.0
+    num_steps: int = 100000
+    val_step: int = 5000
+    freeze_bn: bool = False
+    loss_type: str = "robust"
+    loss_decay_rate: float = 0.8
+    seed: int = 1234
+    pretrained_ckpt: str = ""
+    data_parallel: int = -1  # -1 = all local devices
+    log_every: int = 100
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    model: ModelCfg = dataclasses.field(default_factory=ModelCfg)
+    train: TrainCfg = dataclasses.field(default_factory=TrainCfg)
+    ckpt_dir: str = "ckpts/run"
+
+    # ---- YAML persistence (cargbox semantics) ----
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExperimentConfig":
+        model = ModelCfg(**d.get("model", {}))
+        tr = d.get("train", {})
+        for k in ("image_size", "unsup_image_size", "full_size"):
+            if k in tr and tr[k] is not None:
+                tr[k] = tuple(tr[k])
+        train = TrainCfg(**tr)
+        return cls(model=model, train=train, ckpt_dir=d.get("ckpt_dir", "ckpts/run"))
+
+    def save_yaml(self, path: Optional[str] = None) -> str:
+        path = path or os.path.join(self.ckpt_dir, CONFIG_FILENAME)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+        return path
+
+    @classmethod
+    def load_yaml(cls, path: str) -> "ExperimentConfig":
+        if os.path.isdir(path):
+            path = os.path.join(path, CONFIG_FILENAME)
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    @classmethod
+    def maybe_restore(cls, ckpt_dir: str, fallback: "ExperimentConfig") -> "ExperimentConfig":
+        """Restore the saved config if one exists beside the checkpoints
+        (evaluate.py:76-79 semantics), else persist and return the fallback."""
+        path = os.path.join(ckpt_dir, CONFIG_FILENAME)
+        if os.path.exists(path):
+            cfg = cls.load_yaml(path)
+            cfg.ckpt_dir = ckpt_dir
+            return cfg
+        fallback.ckpt_dir = ckpt_dir
+        fallback.save_yaml(path)
+        return fallback
+
+
+def _add_dataclass_args(parser: ArgumentParser, dc, prefix: str = "") -> None:
+    for f in dataclasses.fields(dc):
+        name = f"--{prefix}{f.name}"
+        default = getattr(dc, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, type=int, nargs=len(default), default=list(default))
+        else:
+            parser.add_argument(name, type=type(default), default=default)
+
+
+def build_argparser(cfg: Optional[ExperimentConfig] = None) -> ArgumentParser:
+    cfg = cfg or ExperimentConfig()
+    p = ArgumentParser("flow_supervisor_tpu")
+    p.add_argument("ckpt_dir", nargs="?", default=cfg.ckpt_dir)
+    _add_dataclass_args(p, cfg.model)
+    _add_dataclass_args(p, cfg.train)
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    d = vars(args)
+    model = {f.name: d[f.name] for f in dataclasses.fields(ModelCfg) if f.name in d}
+    train = {f.name: d[f.name] for f in dataclasses.fields(TrainCfg) if f.name in d}
+    for k in ("image_size", "unsup_image_size", "full_size"):
+        if k in train and isinstance(train[k], list):
+            train[k] = tuple(train[k])
+    return ExperimentConfig(
+        model=ModelCfg(**model), train=TrainCfg(**train), ckpt_dir=d["ckpt_dir"]
+    )

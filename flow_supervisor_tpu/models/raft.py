@@ -1,0 +1,344 @@
+"""RAFT model (TPU-native JAX/flax).
+
+Forward parity with the reference (``raft/__init__.py:110-176``): normalize images
+to [-1, 1], siamese fnet over the concatenated pair, all-pairs correlation pyramid,
+cnet -> (net=tanh, inp=relu), then N refinement iterations of
+{corr lookup -> update block -> delta flow -> convex upsample x8}, with
+stop-gradient on coords at the top of each iteration (raft/__init__.py:155) and the
+coords update computed in float32 (raft/__init__.py:88,163 dtype islands).
+
+Differences from the reference by design (TPU-first):
+
+- flow predictions are returned stacked as [iters, B, H, W, 2] instead of Python
+  lists, so sequence losses vectorize over the leading axis;
+- the model optionally owns a *teacher* update block (the flow-supervisor head,
+  reference ``raft/semi.py:15-77``) sharing fnet/cnet with the student, exposed via
+  ``method="teacher_iterate"``;
+- per-iteration rematerialization (``cfg.remat``) trades FLOPs for HBM during
+  training instead of relying on framework autotuning.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flow_supervisor_tpu.models.encoders import BasicEncoder, SmallEncoder
+from flow_supervisor_tpu.models.update import BasicUpdateBlock, SmallUpdateBlock
+from flow_supervisor_tpu.ops.coords import coords_grid, downsample_shape, resize_flow
+from flow_supervisor_tpu.ops.corr import (
+    all_pairs_correlation,
+    build_corr_pyramid,
+    corr_pyramid_lookup,
+)
+from flow_supervisor_tpu.ops.upsample import upsample_convex
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTConfig:
+    """Canonical hyperparameters (reference ``RAFTArgs``, raft/__init__.py:12-42)."""
+
+    small: bool = False
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    dropout: float = 0.0
+    convex_upsampling: bool = True
+    teacher: bool = False  # add the flow-supervisor teacher update block
+    teacher_iters: int = 12  # reference default (semi.py:550)
+    update_ckpt: bool = False  # remat each refinement iteration
+    freeze_bn: bool = False  # use running batch-norm stats even in training
+    # (reference freezes BN for every stage but chairs, train.py:180-181)
+    dtype: Any = jnp.float32  # compute dtype (bfloat16 for perf)
+    corr_dtype: Any = jnp.float32  # correlation volume storage dtype
+
+    @property
+    def hidden_dim(self) -> int:
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self) -> int:
+        return 64 if self.small else 128
+
+    def resolved(self) -> "RAFTConfig":
+        if self.small:
+            return dataclasses.replace(self, corr_levels=4, corr_radius=3)
+        return dataclasses.replace(self, corr_levels=4, corr_radius=4)
+
+
+class RAFT(nn.Module):
+    cfg: RAFTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        hdim, cdim = cfg.hidden_dim, cfg.context_dim
+        if cfg.small:
+            self.fnet = SmallEncoder(128, "instance", cfg.dropout, cfg.dtype)
+            self.cnet = SmallEncoder(hdim + cdim, "none", cfg.dropout, cfg.dtype)
+            block = SmallUpdateBlock
+            kwargs = dict(
+                hidden_dim=hdim,
+                corr_levels=cfg.corr_levels,
+                corr_radius=cfg.corr_radius,
+                dtype=cfg.dtype,
+            )
+        else:
+            self.fnet = BasicEncoder(256, "instance", cfg.dropout, cfg.dtype)
+            self.cnet = BasicEncoder(hdim + cdim, "batch", cfg.dropout, cfg.dtype)
+            block = BasicUpdateBlock
+            kwargs = dict(
+                hidden_dim=hdim,
+                corr_levels=cfg.corr_levels,
+                corr_radius=cfg.corr_radius,
+                convex_upsampling=cfg.convex_upsampling,
+                dtype=cfg.dtype,
+            )
+        if cfg.update_ckpt:
+            block = nn.remat(block)
+        self.update_block = block(**kwargs)
+        if cfg.teacher:
+            self.teacher_update_block = block(**kwargs)
+
+    # ---- components (reference refactor unsup.py:25-94 feature/flow nets) ----
+
+    def features(self, image1, image2, train: bool = False):
+        """fnet over the normalized concatenated pair -> (fmap1, fmap2)."""
+        x = jnp.concatenate([image1, image2], axis=0).astype(self.cfg.dtype)
+        fmaps = self.fnet(2.0 * x - 1.0, train and not self.cfg.freeze_bn)
+        return jnp.split(fmaps, 2, axis=0)
+
+    def context(self, image1, train: bool = False):
+        """cnet -> (net=tanh(hidden), inp=relu(context))."""
+        cnet = self.cnet(
+            2.0 * image1.astype(self.cfg.dtype) - 1.0,
+            train and not self.cfg.freeze_bn,
+        )
+        net, inp = jnp.split(cnet, [self.cfg.hidden_dim], axis=-1)
+        return jnp.tanh(net), nn.relu(inp)
+
+    def iterate(
+        self,
+        net,
+        inp,
+        corr_pyramid,
+        coords0,
+        coords1,
+        out_size,
+        iters: int,
+        teacher: bool = False,
+        stop_coord_gradient: bool = True,
+    ):
+        """Run `iters` refinement steps; returns (net, coords1, flows_up, flows_low).
+
+        flows_up: [iters, B, H, W, 2] full-res; flows_low: [iters, B, h8, w8, 2].
+        """
+        block = self.teacher_update_block if teacher else self.update_block
+        ups, lows = [], []
+        for _ in range(iters):
+            if stop_coord_gradient:
+                coords1 = jax.lax.stop_gradient(coords1)
+            flow = coords1 - coords0
+            corr = corr_pyramid_lookup(corr_pyramid, coords1, self.cfg.corr_radius)
+            net, up_mask, delta = block(
+                net,
+                inp,
+                corr.astype(self.cfg.dtype),
+                flow.astype(self.cfg.dtype),
+            )
+            coords1 = coords1 + delta.astype(jnp.float32)
+            flow_low = coords1 - coords0
+            lows.append(flow_low)
+            if up_mask is None:
+                raise NotImplementedError(
+                    "non-convex upsampling is not implemented (parity with "
+                    "reference raft/__init__.py:167-168)"
+                )
+            flow_up = (
+                upsample_convex(flow_low, up_mask.astype(jnp.float32), out_size) * 8.0
+            )
+            ups.append(flow_up)
+        return net, coords1, jnp.stack(ups), jnp.stack(lows)
+
+    def build_corr(self, fmap1, fmap2):
+        vol = all_pairs_correlation(
+            fmap1.astype(self.cfg.dtype), fmap2.astype(self.cfg.dtype), self.cfg.corr_dtype
+        )
+        return build_corr_pyramid(vol, self.cfg.corr_levels)
+
+    # ---- standard forward -------------------------------------------------
+
+    def __call__(
+        self,
+        image1,
+        image2,
+        flow_init: Optional[jax.Array] = None,
+        train: bool = False,
+        iters: Optional[int] = None,
+    ):
+        cfg = self.cfg
+        iters = cfg.iters if iters is None else iters
+        b, h, w, _ = image1.shape
+
+        fmap1, fmap2 = self.features(image1, image2, train)
+        corr_pyramid = self.build_corr(fmap1, fmap2)
+        net, inp = self.context(image1, train)
+
+        h8, w8 = downsample_shape(h), downsample_shape(w)
+        coords0 = coords_grid(b, h8, w8)
+        coords1 = coords0
+        if flow_init is not None:
+            coords1 = coords1 + resize_flow(
+                flow_init.astype(jnp.float32), (h8, w8), scaling=True
+            )
+
+        net, coords1, flows_up, flows_low = self.iterate(
+            net, inp, corr_pyramid, coords0, coords1, (h, w), iters
+        )
+        return {"flow_up": flows_up, "flow_low": flows_low}
+
+    def teacher_iterate(
+        self, net, inp, corr_pyramid, coords0, coords1, out_size, iters: int
+    ):
+        """Continue refinement with the teacher head (reference semi.py:47-77)."""
+        return self.iterate(
+            net, inp, corr_pyramid, coords0, coords1, out_size, iters, teacher=True
+        )
+
+    # ---- flow-supervisor forward (reference Semisupervised.call, semi.py:152-303)
+
+    def _directional(
+        self, image1, corr_pyramid, teacher_pyramid, teacher_image1,
+        crop_yx8, crop_yx, train,
+    ):
+        """One direction of the semi forward: student on the crop, teacher
+        continuing from the student's final state in full-image coordinates."""
+        from flow_supervisor_tpu.ops.pad import crop_bboxes, pad_bboxes
+
+        cfg = self.cfg
+        b, h, w, _ = image1.shape
+        fh, fw = teacher_image1.shape[1], teacher_image1.shape[2]
+        h8, w8 = downsample_shape(h), downsample_shape(w)
+        fh8, fw8 = downsample_shape(fh), downsample_shape(fw)
+
+        net, inp = self.context(image1, train)
+        coords0 = coords_grid(b, h8, w8)
+        net, _, stu_up, stu_low = self.iterate(
+            net, inp, corr_pyramid, coords0, coords0, (h, w), cfg.iters
+        )
+
+        # Teacher state: student hidden/flow zero-padded into full coords
+        # (semi.py:215-233), teacher context from the FULL image with
+        # stop-gradient (semi.py:52-54), all-stop-gradient corr volume.
+        t_net = pad_bboxes(jax.lax.stop_gradient(net), crop_yx8, (fh8, fw8))
+        t_flow = pad_bboxes(
+            jax.lax.stop_gradient(stu_low[-1]), crop_yx8, (fh8, fw8)
+        )
+        _, t_inp = self.context(teacher_image1, train)
+        t_inp = jax.lax.stop_gradient(t_inp)
+        t_coords0 = coords_grid(b, fh8, fw8)
+
+        _, _, tea_up_full, tea_low = self.iterate(
+            t_net,
+            t_inp,
+            teacher_pyramid,
+            t_coords0,
+            t_coords0 + t_flow,
+            (fh, fw),
+            cfg.teacher_iters,
+            teacher=True,
+        )
+        # Crop teacher predictions back into the student's frame (semi.py:239-248).
+        tea_up = jnp.stack(
+            [crop_bboxes(tea_up_full[i], crop_yx, (h, w)) for i in range(cfg.teacher_iters)]
+        )
+        return stu_up, stu_low, tea_up, tea_up_full
+
+    def semi_forward(
+        self,
+        image1,
+        image2,
+        orig_image1,
+        orig_image2,
+        crop_yx,  # [B, 2] int (y, x), multiples of 8 (augmentor guarantees)
+        train: bool = False,
+        use_bw: bool = True,
+    ):
+        """Teacher-student forward for the flow supervisor.
+
+        Returns dict with stacked predictions:
+          student_fw/bw: [iters, B, h, w, 2], teacher_fw/bw: [t_iters, B, h, w, 2]
+          (cropped into the student frame), plus full-size teacher predictions.
+        """
+        from flow_supervisor_tpu.ops.corr import transpose_corr_volume
+
+        fmap1, fmap2 = self.features(image1, image2, train)
+        corr_pyramid = self.build_corr(fmap1, fmap2)
+        tf1, tf2 = self.features(orig_image1, orig_image2, train)
+        teacher_pyramid = [
+            jax.lax.stop_gradient(v) for v in self.build_corr(tf1, tf2)
+        ]
+
+        crop_yx = crop_yx.astype(jnp.int32)
+        crop_yx8 = crop_yx // 8
+
+        stu_fw, stu_low_fw, tea_fw, tea_fw_full = self._directional(
+            image1, corr_pyramid, teacher_pyramid, orig_image1,
+            crop_yx8, crop_yx, train,
+        )
+        out = {
+            "student_fw": stu_fw,
+            "student_low_fw": stu_low_fw,
+            "teacher_fw": tea_fw,
+            "teacher_fw_full": tea_fw_full,
+        }
+        if use_bw:
+            bw_pyramid = build_corr_pyramid(
+                transpose_corr_volume(corr_pyramid[0]), self.cfg.corr_levels
+            )
+            t_bw_pyramid = [
+                jax.lax.stop_gradient(v)
+                for v in build_corr_pyramid(
+                    transpose_corr_volume(teacher_pyramid[0]), self.cfg.corr_levels
+                )
+            ]
+            stu_bw, stu_low_bw, tea_bw, tea_bw_full = self._directional(
+                image2, bw_pyramid, t_bw_pyramid, orig_image2,
+                crop_yx8, crop_yx, train,
+            )
+            out.update(
+                student_bw=stu_bw,
+                student_low_bw=stu_low_bw,
+                teacher_bw=tea_bw,
+                teacher_bw_full=tea_bw_full,
+            )
+        return out
+
+    def unsup_forward(self, image1, image2, train: bool = False, use_bw: bool = True):
+        """Bidirectional student forward (reference Unsupervised.call,
+        unsup.py:96-130): one correlation matmul serves both directions via the
+        transposed volume."""
+        from flow_supervisor_tpu.ops.corr import transpose_corr_volume
+
+        b, h, w, _ = image1.shape
+        h8, w8 = downsample_shape(h), downsample_shape(w)
+        fmap1, fmap2 = self.features(image1, image2, train)
+        corr_pyramid = self.build_corr(fmap1, fmap2)
+        net, inp = self.context(image1, train)
+        coords0 = coords_grid(b, h8, w8)
+        _, _, fw_up, fw_low = self.iterate(
+            net, inp, corr_pyramid, coords0, coords0, (h, w), self.cfg.iters
+        )
+        out = {"flow_up": fw_up, "flow_low": fw_low}
+        if use_bw:
+            bw_pyramid = build_corr_pyramid(
+                transpose_corr_volume(corr_pyramid[0]), self.cfg.corr_levels
+            )
+            net2, inp2 = self.context(image2, train)
+            _, _, bw_up, bw_low = self.iterate(
+                net2, inp2, bw_pyramid, coords0, coords0, (h, w), self.cfg.iters
+            )
+            out.update(flow_up_bw=bw_up, flow_low_bw=bw_low)
+        return out

@@ -1,0 +1,80 @@
+"""Multi-chip dry run: jit + execute ONE full flow-supervisor training step over
+an n-device data-parallel mesh on tiny shapes. Used by the driver
+(``__graft_entry__.dryrun_multichip``) with virtual CPU devices to validate that
+the multi-chip sharding compiles and executes without real chips.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def run_dryrun(n_devices: int) -> None:
+    from flow_supervisor_tpu.config import ModelCfg
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+    from flow_supervisor_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from flow_supervisor_tpu.training.optim import adamw
+    from flow_supervisor_tpu.training.semi import make_semi_train_step
+    from flow_supervisor_tpu.training.state import TrainState
+
+    devs = jax.devices()
+    assert len(devs) >= n_devices, (len(devs), n_devices)
+    mesh = make_mesh(n_devices)
+
+    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1).resolved()
+    model = RAFT(cfg)
+    mc = ModelCfg(
+        teacher_iters=1,
+        teacher_smurf_weight=1.0,
+        occlusion="wang",
+        lfr_loss_type="robust",
+    )
+
+    b = n_devices
+    h, w = 32, 48
+    fh, fw = 48, 64
+    rng = np.random.default_rng(0)
+
+    def img(shape):
+        return jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
+
+    sup_batch = {
+        "image1": img((b, h, w, 3)),
+        "image2": img((b, h, w, 3)),
+        "orig_image1": img((b, fh, fw, 3)),
+        "orig_image2": img((b, fh, fw, 3)),
+        "crop_yx": jnp.zeros((b, 2), jnp.int32) + 8,
+        "flow": img((b, h, w, 2)),
+        "valid": jnp.ones((b, h, w, 1), jnp.float32),
+    }
+    unsup_batch = {k: v for k, v in sup_batch.items() if k not in ("flow", "valid")}
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        sup_batch["image1"][:1],
+        sup_batch["image2"][:1],
+        sup_batch["orig_image1"][:1],
+        sup_batch["orig_image2"][:1],
+        sup_batch["crop_yx"][:1],
+        train=False,
+        method="semi_forward",
+    )
+    tx = adamw(lambda s: 1e-4, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        sup_sharded = shard_batch(sup_batch, mesh)
+        unsup_sharded = shard_batch(unsup_batch, mesh)
+        step = make_semi_train_step(model, mc, donate=False)
+        new_state, log = step(state, sup_sharded, unsup_sharded)
+        jax.block_until_ready(new_state.params)
+
+    assert int(new_state.step) == 1
+    for k, v in log.items():
+        assert np.isfinite(float(v)), (k, v)
+    print(
+        f"dryrun_multichip ok: {n_devices} devices, "
+        + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(log.items()))
+    )

@@ -1,0 +1,47 @@
+"""Device mesh and sharding helpers.
+
+The reference's only parallelism is single-host data parallelism
+(tf.distribute.MirroredStrategy / torch DataParallel — SURVEY.md §2.5). The
+TPU-native equivalent: one jitted train step over a ``jax.sharding.Mesh`` with the
+batch sharded on a 'data' axis and parameters replicated; XLA inserts the gradient
+all-reduce over ICI. A second 'space' axis is reserved for spatially sharding the
+correlation volume's source-pixel axis at large resolution (SURVEY.md §5
+long-context analog).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh(n_devices: Optional[int] = None, space: int = 1) -> Mesh:
+    devices = jax.devices()
+    n = len(devices) if (n_devices is None or n_devices < 0) else n_devices
+    assert n % space == 0, (n, space)
+    arr = np.asarray(devices[:n]).reshape(n // space, space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch onto the mesh, sharded over the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,127 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flow_supervisor_tpu.config import ModelCfg
+from flow_supervisor_tpu.models import RAFT, RAFTConfig
+from flow_supervisor_tpu.training.optim import adamw
+from flow_supervisor_tpu.training.semi import make_semi_train_step
+from flow_supervisor_tpu.training.unsup import make_unsup_train_step
+from flow_supervisor_tpu.training.state import TrainState
+
+
+def _batches(b=1, h=32, w=48, fh=48, fw=64, seed=0):
+    rng = np.random.default_rng(seed)
+    img = lambda s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
+    sup = {
+        "image1": img((b, h, w, 3)),
+        "image2": img((b, h, w, 3)),
+        "orig_image1": img((b, fh, fw, 3)),
+        "orig_image2": img((b, fh, fw, 3)),
+        "crop_yx": jnp.zeros((b, 2), jnp.int32) + 8,
+        "flow": img((b, h, w, 2)),
+        "valid": jnp.ones((b, h, w, 1), jnp.float32),
+    }
+    unsup = {k: v for k, v in sup.items() if k not in ("flow", "valid")}
+    return sup, unsup
+
+
+@pytest.fixture(scope="module")
+def semi_setup():
+    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1).resolved()
+    model = RAFT(cfg)
+    sup, unsup = _batches()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        sup["image1"], sup["image2"], sup["orig_image1"], sup["orig_image2"],
+        sup["crop_yx"], train=False, method="semi_forward",
+    )
+    return model, variables, sup, unsup
+
+
+def test_semi_forward_shapes(semi_setup):
+    model, variables, sup, unsup = semi_setup
+    out = model.apply(
+        variables,
+        sup["image1"], sup["image2"], sup["orig_image1"], sup["orig_image2"],
+        sup["crop_yx"], train=False, method="semi_forward",
+    )
+    assert out["student_fw"].shape == (2, 1, 32, 48, 2)
+    assert out["teacher_fw"].shape == (1, 1, 32, 48, 2)
+    assert out["teacher_fw_full"].shape == (1, 1, 48, 64, 2)
+    assert out["student_bw"].shape == (2, 1, 32, 48, 2)
+    assert "teacher_update_block" in variables["params"]
+
+
+def test_semi_train_step_descends_and_merges_grads(semi_setup):
+    model, variables, sup, unsup = semi_setup
+    mc = ModelCfg(teacher_iters=1, teacher_smurf_weight=1.0, occlusion="wang")
+    tx = adamw(lambda s: 1e-3, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_semi_train_step(model, mc, donate=False)
+    s1, log1 = step(state, sup, unsup)
+    for k in ("sup_loss", "lfl_loss", "lfr_loss", "teacher_smurf_loss", "epe"):
+        assert k in log1 and np.isfinite(float(log1[k])), k
+    cur = s1
+    for _ in range(4):
+        cur, logN = step(cur, sup, unsup)
+    assert float(logN["sup_loss"]) < float(log1["sup_loss"])
+
+
+def test_teacher_head_gets_no_lfr_gradient(semi_setup):
+    # With teacher_smurf off, the unsup branch stops gradient at the teacher,
+    # so the teacher update block's unsup gradient must be exactly zero.
+    model, variables, sup, unsup = semi_setup
+    mc = ModelCfg(teacher_iters=1, teacher_smurf_weight=0.0, sup_weight=0.0)
+
+    from flow_supervisor_tpu.losses import sequence_loss
+
+    def unsup_only_loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            unsup["image1"], unsup["image2"], unsup["orig_image1"],
+            unsup["orig_image2"], unsup["crop_yx"],
+            train=True, method="semi_forward",
+        )
+        t = jax.lax.stop_gradient(out["teacher_fw"][-1])
+        return sequence_loss(out["student_fw"], t, None, 0.8, "robust")
+
+    g = jax.grad(unsup_only_loss)(variables["params"])
+    t_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["teacher_update_block"])
+    )
+    s_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["update_block"])
+    )
+    assert t_norm == 0.0
+    assert s_norm > 0.0
+
+
+def test_unsup_train_step_runs():
+    cfg = RAFTConfig(iters=2).resolved()
+    model = RAFT(cfg)
+    sup, unsup = _batches()
+    variables = model.init(
+        jax.random.PRNGKey(0), unsup["image1"], unsup["image2"],
+        train=False, method="unsup_forward",
+    )
+    mc = ModelCfg(census_weight=1.0, smooth2_weight=2.0, selfsup_weight=0.3,
+                  occlusion="wang")
+    tx = adamw(lambda s: 1e-4, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_unsup_train_step(model, mc, donate=False)
+    batch = dict(unsup)
+    batch["flow"] = sup["flow"]
+    batch["valid"] = sup["valid"]
+    s1, log = step(state, batch)
+    assert np.isfinite(float(log["loss"]))
+    assert "census" in log and "selfsup" in log and "epe" in log
+
+
+def test_dryrun_multichip():
+    from flow_supervisor_tpu.parallel.dryrun import run_dryrun
+
+    run_dryrun(8)
