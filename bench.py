@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: flow pairs/sec/chip at 448x1024, 12 refinement iterations
+(BASELINE.json north-star metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against the TF-GPU reference estimate recorded in
+BASELINE.md (the reference repo publishes no numbers; RAFT-class TF models run
+~10 flow pairs/sec at this resolution on the reference's CUDA 11.3-era GPUs —
+recorded there as the working baseline until a direct measurement exists).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+
+    h, w = 448, 1024
+    iters = 12
+    bf16 = "--fp32" not in sys.argv
+
+    cfg = RAFTConfig(
+        iters=iters,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        corr_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    ).resolved()
+    model = RAFT(cfg)
+
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+
+    @jax.jit
+    def forward(image1, image2):
+        return model.apply(variables, image1, image2, train=False)["flow_up"][-1]
+
+    # warmup / compile
+    out = forward(img1, img2)
+    jax.block_until_ready(out)
+
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = forward(img1, img2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "flow_pairs_per_sec_per_chip_448x1024_12iters",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pairs_per_sec / TF_GPU_BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Usage parity with the reference (``evaluate.py``):
+    python evaluate.py <ckpt_dir> --dataset sintel --eval_iters 12 [--warm_start]
+
+Datasets: sintel (clean+final train split, dense), chairs (val split), kitti
+(KITTI-2015 train split, sparse w/ Fl-all). Iters policy matches the reference:
+32 for sintel, 24 otherwise, unless --eval_iters is given (evaluate.py:166-174).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt_dir")
+    p.add_argument("--dataset", default="sintel", choices=["sintel", "chairs", "kitti"])
+    p.add_argument("--eval_iters", type=int, default=None)
+    p.add_argument("--warm_start", action="store_true")
+    p.add_argument("--use_teacher", action="store_true",
+                   help="also score the teacher head (semi checkpoints)")
+    p.add_argument("--step", type=int, default=None)
+    args = p.parse_args()
+
+    from flow_supervisor_tpu.config import ExperimentConfig
+    from flow_supervisor_tpu.data import datasets as D
+    from flow_supervisor_tpu.evaluation import Evaluator
+    from flow_supervisor_tpu.training import checkpoint as ckpt
+    from flow_supervisor_tpu.training.loop import build_model, init_variables
+
+    cfg = ExperimentConfig.load_yaml(args.ckpt_dir)
+    cfg.ckpt_dir = args.ckpt_dir
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    restored = ckpt.restore_checkpoint(args.ckpt_dir, step=args.step)
+    assert restored is not None, f"no checkpoint in {args.ckpt_dir}"
+    variables = {
+        "params": restored["params"],
+        "batch_stats": restored.get("batch_stats", variables.get("batch_stats", {})),
+    }
+
+    iters = args.eval_iters or (32 if args.dataset == "sintel" else 24)
+    ev = Evaluator(model, variables, iters=iters, use_teacher=args.use_teacher)
+
+    results = {}
+    if args.dataset == "sintel":
+        for dstype in ("clean", "final"):
+            recs = D.sintel(training=True, dstype=dstype)
+            r = ev.evaluate(recs, sparse=False, warm_start=args.warm_start)
+            results.update({f"{dstype}_{k}": v for k, v in r.items()})
+    elif args.dataset == "chairs":
+        recs = D.flying_chairs(training=False)
+        results = ev.evaluate(recs, sparse=False)
+    elif args.dataset == "kitti":
+        recs = D.kitti(training=True)
+        results = ev.evaluate(recs, sparse=True, warm_start=args.warm_start)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

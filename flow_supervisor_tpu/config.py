@@ -50,6 +50,10 @@ class ModelCfg:
     unsup_loss_decay_rate: float = 0.8
     teacher_smurf_loss: bool = False
     use_bw: bool = True
+    # GMA variant (reference pytorch/train_gma.py:345-356)
+    num_heads: int = 1
+    position_only: bool = False
+    position_and_content: bool = False
     # precision
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
 

@@ -1,0 +1,271 @@
+"""Host-side training pipelines: load -> augment -> batch -> prefetch.
+
+Replaces the reference's tf.data graphs (``data/flow_dataset.py``) with a plain
+Python/numpy pipeline: records are shuffled per epoch, decoded with cv2, run
+through the numpy augmentors, batched, and prefetched on a background thread so
+host work overlaps device steps (the reference used tf.data prefetch(10),
+train.py:117-124).
+
+Stage registry parity (``data/flow_datasets.py:10-68`` + the torch tree's
+``wb_data/flow_datasets.py``): each stage composes catalogs with its own
+augmentation parameters; ``semi-<unsup>-<sup>`` zips an unlabeled stream with a
+``sup_``-prefixed labeled stream (``make_semi_dataset``,
+data/flow_dataset.py:360-391).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from flow_supervisor_tpu.data import datasets as D
+from flow_supervisor_tpu.data.augment import (
+    FlowAugmentor,
+    SparseFlowAugmentor,
+    UnsupAugmentor,
+)
+from flow_supervisor_tpu.data.io import read_flow_any, read_image
+
+
+def load_record(record: D.FlowRecord):
+    """-> (img1, img2, flow, valid) float32; dummy zero flow for unlabeled."""
+    img1 = read_image(record.images[0])
+    img2 = read_image(record.images[1])
+    if record.flow is not None:
+        flow, valid = read_flow_any(record.flow)
+        flow = flow.astype(np.float32)
+        if valid is None:
+            valid = np.ones(flow.shape[:2] + (1,), np.float32)
+        else:
+            valid = valid.reshape(valid.shape[:2] + (1,)).astype(np.float32)
+    else:
+        flow = np.zeros(img1.shape[:2] + (2,), np.float32)
+        valid = np.zeros(img1.shape[:2] + (1,), np.float32)
+    if record.canonical_size is not None:
+        img1 = _crop_or_pad(img1, record.canonical_size)
+        img2 = _crop_or_pad(img2, record.canonical_size)
+        flow = _crop_or_pad(flow, record.canonical_size)
+        valid = _crop_or_pad(valid, record.canonical_size)
+    return img1, img2, flow, valid
+
+
+def _crop_or_pad(x: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """tf.image.resize_with_crop_or_pad semantics: center crop then center pad."""
+    h, w = x.shape[:2]
+    th, tw = size
+    y0 = max(0, (h - th) // 2)
+    x0 = max(0, (w - tw) // 2)
+    x = x[y0 : y0 + th, x0 : x0 + tw]
+    h, w = x.shape[:2]
+    py, px = th - h, tw - w
+    if py or px:
+        x = np.pad(
+            x,
+            ((py // 2, py - py // 2), (px // 2, px - px // 2), (0, 0)),
+        )
+    return x
+
+
+def _stack(dicts: list[dict]) -> dict:
+    return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+
+
+class SupervisedPipeline:
+    """Labeled stream -> {'image1','image2','flow','valid'} batches."""
+
+    def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
+                 batch_size, seed=1234, augment=True):
+        assert records, "empty dataset"
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.augment = augment
+        self.dense_aug = FlowAugmentor(crop_size, min_scale, max_scale, do_flip)
+        self.sparse_aug = SparseFlowAugmentor(crop_size, min_scale, max_scale, do_flip)
+
+    def _example(self, record) -> dict:
+        img1, img2, flow, valid = load_record(record)
+        if not self.augment:
+            return {"image1": img1, "image2": img2, "flow": flow, "valid": valid}
+        # runtime dense/sparse dispatch mirrors flow_dataset.py:119-143: dense
+        # when the valid mask is everywhere positive.
+        if record.sparse or not (valid > 0.5).all():
+            img1, img2, flow, valid = self.sparse_aug(img1, img2, flow, valid, self.rng)
+        else:
+            img1, img2, flow = self.dense_aug(img1, img2, flow, self.rng)
+            valid = np.ones(flow.shape[:2] + (1,), np.float32)
+        return {
+            "image1": img1.astype(np.float32),
+            "image2": img2.astype(np.float32),
+            "flow": flow.astype(np.float32),
+            "valid": valid.astype(np.float32),
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = self.rng.permutation(len(self.records))
+            batch = []
+            for idx in order:
+                batch.append(self._example(self.records[idx]))
+                if len(batch) == self.batch_size:
+                    yield _stack(batch)
+                    batch = []
+
+
+class UnsupPipeline:
+    """Unlabeled stream -> UnsupAugmentor dict batches (full frame + crop)."""
+
+    def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
+                 batch_size, full_size, seed=1234):
+        assert records, "empty dataset"
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.aug = UnsupAugmentor(
+            crop_size, min_scale, max_scale, do_flip, full_size=full_size
+        )
+
+    def _example(self, record) -> dict:
+        img1, img2, flow, valid = load_record(record)
+        return self.aug(img1, img2, flow, valid, self.rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = self.rng.permutation(len(self.records))
+            batch = []
+            for idx in order:
+                batch.append(self._example(self.records[idx]))
+                if len(batch) == self.batch_size:
+                    yield _stack(batch)
+                    batch = []
+
+
+def semi_zip(unsup_iter, sup_iter) -> Iterator[tuple[dict, dict]]:
+    """Zip the two infinite streams (make_semi_dataset semantics)."""
+    for unsup_batch, sup_batch in zip(unsup_iter, sup_iter):
+        yield sup_batch, unsup_batch
+
+
+class Prefetcher:
+    """Background-thread prefetch of an iterator (tf.data prefetch equivalent)."""
+
+    def __init__(self, it: Iterator, depth: int = 4):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in it:
+                    self.q.put(item)
+            except BaseException as e:  # surfaced on next()
+                self._err = e
+                self.q.put(None)
+
+        self.t = threading.Thread(target=run, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is None:
+            raise self._err if self._err else StopIteration
+        return item
+
+
+# ---- stage registry (reference data/flow_datasets.py + wb_data) ----------
+
+def stage_records(stage: str):
+    """-> (records, aug_param dict) for a stage name."""
+    if stage == "chairs":
+        return D.flying_chairs(True), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
+    if stage == "things":
+        recs = D.flying_things("frames_finalpass") + D.flying_things("frames_cleanpass")
+        return recs, dict(min_scale=0.0, max_scale=0.8, do_flip=True)
+    if stage == "things_unsup":
+        recs = D.flying_things("frames_finalpass") + D.flying_things("frames_cleanpass")
+        return recs, dict(min_scale=-0.4, max_scale=0.8, do_flip=True)
+    if stage == "sintel_unsup_test":
+        recs = []
+        for dstype in ("final", "clean"):
+            for interval in (1, 2):
+                base = (
+                    D.sintel(False, dstype)
+                    if interval == 1
+                    else D.sintel_unsup_interval(False, dstype)
+                )
+                recs.extend(base)
+                recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.5, max_scale=0.6, do_flip=True)
+    if stage == "sintel_unsup_train":
+        recs = []
+        for dstype in ("final", "clean"):
+            for interval in (1, 2):
+                base = (
+                    D.sintel(True, dstype)
+                    if interval == 1
+                    else D.sintel_unsup_interval(True, dstype)
+                )
+                recs.extend(base)
+                recs.extend(D.backward(base))
+        for interval in (1, 2):
+            base = D.spring(interval)
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.5, max_scale=0.6, do_flip=True)
+    if stage == "kitti_unsup_test":
+        recs = []
+        for interval in (1, 2):
+            base = D.kitti_multiview(False, interval)
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
+    if stage == "kitti2015_unsup":
+        recs = D.kitti(True)
+        return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
+    if stage == "hd1k":
+        return D.hd1k(), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
+    raise NotImplementedError(f"unknown stage: {stage}")
+
+
+def fetch_dataloader(train_cfg, seed: Optional[int] = None):
+    """Build the pipeline(s) for TrainCfg.stage.
+
+    'semi-<unsup_stage>-<sup_stage>' (train.py:98-115) returns an iterator of
+    (sup_batch, unsup_batch); anything else a single supervised/unsup stream.
+    """
+    seed = train_cfg.seed if seed is None else seed
+    stage = train_cfg.stage
+    if stage.startswith("semi-"):
+        _, unsup_stage, sup_stage = stage.split("-", 2)
+        unsup_recs, unsup_aug = stage_records(unsup_stage)
+        sup_recs, sup_aug = stage_records(sup_stage)
+        sup = UnsupPipeline(
+            sup_recs,
+            train_cfg.image_size,
+            batch_size=train_cfg.batch_size,
+            full_size=train_cfg.full_size,
+            seed=seed,
+            **sup_aug,
+        )
+        unsup = UnsupPipeline(
+            unsup_recs,
+            train_cfg.unsup_image_size,
+            batch_size=train_cfg.batch_size,
+            full_size=train_cfg.full_size,
+            seed=seed + 1,
+            **unsup_aug,
+        )
+        return Prefetcher(semi_zip(iter(unsup), iter(sup)))
+    records, aug = stage_records(stage)
+    pipe = SupervisedPipeline(
+        records,
+        train_cfg.image_size,
+        batch_size=train_cfg.batch_size,
+        seed=seed,
+        **aug,
+    )
+    return Prefetcher(iter(pipe))

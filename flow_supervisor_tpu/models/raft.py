@@ -52,6 +52,11 @@ class RAFTConfig:
     update_ckpt: bool = False  # remat each refinement iteration
     freeze_bn: bool = False  # use running batch-norm stats even in training
     # (reference freezes BN for every stage but chairs, train.py:180-181)
+    # GMA variant (reference pytorch/core/gma_network.py)
+    gma: bool = False
+    num_heads: int = 1
+    position_only: bool = False
+    position_and_content: bool = False
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for perf)
     corr_dtype: Any = jnp.float32  # correlation volume storage dtype
 
@@ -88,14 +93,36 @@ class RAFT(nn.Module):
         else:
             self.fnet = BasicEncoder(256, "instance", cfg.dropout, cfg.dtype)
             self.cnet = BasicEncoder(hdim + cdim, "batch", cfg.dropout, cfg.dtype)
-            block = BasicUpdateBlock
-            kwargs = dict(
-                hidden_dim=hdim,
-                corr_levels=cfg.corr_levels,
-                corr_radius=cfg.corr_radius,
-                convex_upsampling=cfg.convex_upsampling,
-                dtype=cfg.dtype,
-            )
+            if cfg.gma:
+                from flow_supervisor_tpu.models.gma import Attention, GMAUpdateBlock
+
+                block = GMAUpdateBlock
+                kwargs = dict(
+                    hidden_dim=hdim,
+                    corr_levels=cfg.corr_levels,
+                    corr_radius=cfg.corr_radius,
+                    heads=cfg.num_heads,
+                    convex_upsampling=cfg.convex_upsampling,
+                    dtype=cfg.dtype,
+                )
+                self.att = Attention(
+                    dim=cdim,
+                    heads=cfg.num_heads,
+                    dim_head=cdim,
+                    max_pos_size=160,
+                    position_only=cfg.position_only,
+                    position_and_content=cfg.position_and_content,
+                    dtype=cfg.dtype,
+                )
+            else:
+                block = BasicUpdateBlock
+                kwargs = dict(
+                    hidden_dim=hdim,
+                    corr_levels=cfg.corr_levels,
+                    corr_radius=cfg.corr_radius,
+                    convex_upsampling=cfg.convex_upsampling,
+                    dtype=cfg.dtype,
+                )
         if cfg.update_ckpt:
             block = nn.remat(block)
         self.update_block = block(**kwargs)
@@ -119,6 +146,11 @@ class RAFT(nn.Module):
         net, inp = jnp.split(cnet, [self.cfg.hidden_dim], axis=-1)
         return jnp.tanh(net), nn.relu(inp)
 
+    def attention_map(self, inp):
+        """GMA attention over the relu'd context features, computed once per
+        forward (reference gma_network.py); None for the plain model."""
+        return self.att(inp) if self.cfg.gma else None
+
     def iterate(
         self,
         net,
@@ -130,6 +162,7 @@ class RAFT(nn.Module):
         iters: int,
         teacher: bool = False,
         stop_coord_gradient: bool = True,
+        attention=None,
     ):
         """Run `iters` refinement steps; returns (net, coords1, flows_up, flows_low).
 
@@ -142,12 +175,16 @@ class RAFT(nn.Module):
                 coords1 = jax.lax.stop_gradient(coords1)
             flow = coords1 - coords0
             corr = corr_pyramid_lookup(corr_pyramid, coords1, self.cfg.corr_radius)
-            net, up_mask, delta = block(
+            block_args = (
                 net,
                 inp,
                 corr.astype(self.cfg.dtype),
                 flow.astype(self.cfg.dtype),
             )
+            if self.cfg.gma:
+                net, up_mask, delta = block(*block_args, attention)
+            else:
+                net, up_mask, delta = block(*block_args)
             coords1 = coords1 + delta.astype(jnp.float32)
             flow_low = coords1 - coords0
             lows.append(flow_low)
@@ -195,7 +232,8 @@ class RAFT(nn.Module):
             )
 
         net, coords1, flows_up, flows_low = self.iterate(
-            net, inp, corr_pyramid, coords0, coords1, (h, w), iters
+            net, inp, corr_pyramid, coords0, coords1, (h, w), iters,
+            attention=self.attention_map(inp),
         )
         return {"flow_up": flows_up, "flow_low": flows_low}
 
@@ -226,7 +264,8 @@ class RAFT(nn.Module):
         net, inp = self.context(image1, train)
         coords0 = coords_grid(b, h8, w8)
         net, _, stu_up, stu_low = self.iterate(
-            net, inp, corr_pyramid, coords0, coords0, (h, w), cfg.iters
+            net, inp, corr_pyramid, coords0, coords0, (h, w), cfg.iters,
+            attention=self.attention_map(inp),
         )
 
         # Teacher state: student hidden/flow zero-padded into full coords
@@ -240,6 +279,9 @@ class RAFT(nn.Module):
         t_inp = jax.lax.stop_gradient(t_inp)
         t_coords0 = coords_grid(b, fh8, fw8)
 
+        t_attention = self.attention_map(t_inp)
+        if t_attention is not None:
+            t_attention = jax.lax.stop_gradient(t_attention)
         _, _, tea_up_full, tea_low = self.iterate(
             t_net,
             t_inp,
@@ -249,6 +291,7 @@ class RAFT(nn.Module):
             (fh, fw),
             cfg.teacher_iters,
             teacher=True,
+            attention=t_attention,
         )
         # Crop teacher predictions back into the student's frame (semi.py:239-248).
         tea_up = jnp.stack(
@@ -329,7 +372,8 @@ class RAFT(nn.Module):
         net, inp = self.context(image1, train)
         coords0 = coords_grid(b, h8, w8)
         _, _, fw_up, fw_low = self.iterate(
-            net, inp, corr_pyramid, coords0, coords0, (h, w), self.cfg.iters
+            net, inp, corr_pyramid, coords0, coords0, (h, w), self.cfg.iters,
+            attention=self.attention_map(inp),
         )
         out = {"flow_up": fw_up, "flow_low": fw_low}
         if use_bw:
@@ -338,7 +382,8 @@ class RAFT(nn.Module):
             )
             net2, inp2 = self.context(image2, train)
             _, _, bw_up, bw_low = self.iterate(
-                net2, inp2, bw_pyramid, coords0, coords0, (h, w), self.cfg.iters
+                net2, inp2, bw_pyramid, coords0, coords0, (h, w), self.cfg.iters,
+                attention=self.attention_map(inp2),
             )
             out.update(flow_up_bw=bw_up, flow_low_bw=bw_low)
         return out

@@ -120,11 +120,82 @@ def _lookup_level(vol: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
     return out.reshape(b, h1, w1, k2)
 
 
-def corr_pyramid_lookup(
+def corr_pyramid_lookup_gather(
     pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
 ) -> jax.Array:
-    """Concatenated window samples over all levels: [B, h1, w1, L*(2r+1)^2]."""
+    """Gather-based reference implementation (correctness oracle)."""
     outs = []
     for i, vol in enumerate(pyramid):
         outs.append(_lookup_level(vol, coords / (2.0**i), radius))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _interp_matrix(pos: jax.Array, size: int, radius: int) -> jax.Array:
+    """One-hot support matrix R[b, q, K+1, size]: R[..., u, c] = 1 iff
+    c == floor(pos) + u - radius. Out-of-range supports match no column, which
+    reproduces the OOB->0 tap semantics exactly."""
+    b, q = pos.shape
+    base = jnp.floor(pos).astype(jnp.int32)  # [b, q]
+    u = jax.lax.broadcasted_iota(jnp.int32, (2 * radius + 2, 1), 0)  # [K+1, 1]
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)  # [1, size]
+    support = base[..., None, None] + (u - radius)[None, None]  # [b, q, K+1, 1]
+    return (support == c[None, None]).astype(jnp.float32)
+
+
+def _lookup_level_matmul(vol: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Gather-free lookup: patch[q] = R_y[q] @ vol[q] @ R_x[q]^T, then a 4-tap
+    bilinear combine. All heavy work is batched matmul (MXU), no gathers — the
+    TPU-native replacement for both the XLA gather path and the reference's
+    alt_cuda_corr CUDA kernel (pytorch/alt_cuda_corr/correlation_kernel.cu)."""
+    b, h1, w1, h2, w2 = vol.shape
+    k = 2 * radius + 1
+    q = h1 * w1
+    x = coords[..., 0].reshape(b, q)
+    y = coords[..., 1].reshape(b, q)
+    fx = (x - jnp.floor(x)).astype(jnp.float32)[..., None, None]  # [b, q, 1, 1]
+    fy = (y - jnp.floor(y)).astype(jnp.float32)[..., None, None]
+
+    # one-hot matrices are exact in any dtype; keep the volume in its storage
+    # dtype (bf16 on the perf path) and accumulate in fp32 on the MXU.
+    ry = _interp_matrix(y, h2, radius).astype(vol.dtype)  # [b, q, K+1, h2]
+    rx = _interp_matrix(x, w2, radius).astype(vol.dtype)  # [b, q, K+1, w2]
+    v = vol.reshape(b, q, h2, w2)
+
+    tmp = jnp.einsum(
+        "bquy,bqyx->bqux", ry, v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    patch = jnp.einsum(
+        "bqux,bqvx->bquv", tmp, rx.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # patch[u, v]: u = y-support index, v = x-support index
+    p00 = patch[:, :, :k, :k]
+    p01 = patch[:, :, :k, 1:]
+    p10 = patch[:, :, 1:, :k]
+    p11 = patch[:, :, 1:, 1:]
+    out = (
+        (1.0 - fy) * (1.0 - fx) * p00
+        + (1.0 - fy) * fx * p01
+        + fy * (1.0 - fx) * p10
+        + fy * fx * p11
+    )
+    # channel order: dx-major (out[..., i_dx * k + j_dy]) — transpose (u, v)
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(b, h1, w1, k * k)
+    return out
+
+
+def corr_pyramid_lookup(
+    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Concatenated window samples over all levels: [B, h1, w1, L*(2r+1)^2].
+
+    Uses the matmul formulation (gather-free, MXU-friendly); bit-equivalent to
+    ``corr_pyramid_lookup_gather`` up to fp32 accumulation order.
+    """
+    outs = []
+    for i, vol in enumerate(pyramid):
+        outs.append(_lookup_level_matmul(vol, coords / (2.0**i), radius))
     return jnp.concatenate(outs, axis=-1)

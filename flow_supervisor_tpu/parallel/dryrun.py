@@ -22,7 +22,7 @@ def run_dryrun(n_devices: int) -> None:
     assert len(devs) >= n_devices, (len(devs), n_devices)
     mesh = make_mesh(n_devices)
 
-    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1).resolved()
+    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1, freeze_bn=True).resolved()
     model = RAFT(cfg)
     mc = ModelCfg(
         teacher_iters=1,

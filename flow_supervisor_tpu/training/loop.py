@@ -1,0 +1,206 @@
+"""Training loop: model build, restore/pretrain/resume, stepping, validation
+callbacks, checkpointing, metric logging.
+
+Replaces the reference Keras fit harness (train.py:90-221 + util/callback.py +
+util/validate.py callbacks) with an explicit loop around the jitted train steps.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flow_supervisor_tpu.config import ExperimentConfig
+from flow_supervisor_tpu.models import RAFT, RAFTConfig
+from flow_supervisor_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from flow_supervisor_tpu.training import checkpoint as ckpt
+from flow_supervisor_tpu.training.baseline import make_train_step
+from flow_supervisor_tpu.training.optim import make_optimizer
+from flow_supervisor_tpu.training.semi import make_semi_train_step
+from flow_supervisor_tpu.training.unsup import make_unsup_train_step
+from flow_supervisor_tpu.training.state import TrainState
+
+
+def build_model(cfg: ExperimentConfig) -> RAFT:
+    mc = cfg.model
+    rcfg = RAFTConfig(
+        small=mc.small,
+        iters=mc.iters,
+        dropout=mc.dropout,
+        teacher=mc.model_type.endswith("semi"),
+        teacher_iters=mc.teacher_iters,
+        freeze_bn=cfg.train.freeze_bn or cfg.train.stage not in ("chairs", "chairs_unsup"),
+        gma=mc.model_type.startswith("gma"),
+        num_heads=mc.num_heads,
+        position_only=mc.position_only,
+        position_and_content=mc.position_and_content,
+        dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
+    ).resolved()
+    return RAFT(rcfg)
+
+
+def init_variables(model: RAFT, cfg: ExperimentConfig, rng_key=None):
+    rng_key = jax.random.PRNGKey(cfg.train.seed) if rng_key is None else rng_key
+    h, w = cfg.train.image_size
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    if model.cfg.teacher:
+        fh, fw = cfg.train.full_size
+        return model.init(
+            rng_key,
+            img,
+            img,
+            jnp.zeros((1, fh, fw, 3), jnp.float32),
+            jnp.zeros((1, fh, fw, 3), jnp.float32),
+            jnp.zeros((1, 2), jnp.int32),
+            train=False,
+            method="semi_forward",
+        )
+    return model.init(rng_key, img, img, train=False)
+
+
+class MetricLogger:
+    """JSONL metric log + console echo (TensorBoard-equivalent observability)."""
+
+    def __init__(self, ckpt_dir: str):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self.path = os.path.join(ckpt_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: dict, prefix: str = "train"):
+        row = {"step": step, "prefix": prefix}
+        row.update(
+            {
+                k: (float(v) if not isinstance(v, (str, int)) else v)
+                for k, v in metrics.items()
+            }
+        )
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def train(
+    cfg: ExperimentConfig,
+    data_iter,
+    max_steps: Optional[int] = None,
+    validate_fn: Optional[Callable[[int, TrainState], dict]] = None,
+):
+    """Run training for cfg.train.num_steps (or max_steps), checkpointing and
+    validating every val_step steps. ``data_iter`` yields batches (for semi:
+    (sup_batch, unsup_batch) tuples)."""
+    model = build_model(cfg)
+    variables = init_variables(model, cfg)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    tx = make_optimizer(cfg.train)
+    is_semi = cfg.model.model_type.endswith("semi")
+    is_unsup = cfg.model.model_type.endswith("unsup")
+
+    # restore-or-init (train.py:188-209 semantics)
+    restored = ckpt.restore_checkpoint(cfg.ckpt_dir)
+    start_step = 0
+    if restored is not None:
+        params = restored["params"]
+        batch_stats = restored.get("batch_stats", batch_stats)
+        start_step = ckpt.latest_step(cfg.ckpt_dir) or 0
+        print(f"resumed from {cfg.ckpt_dir} at step {start_step}")
+    elif cfg.train.pretrained_ckpt:
+        pre = ckpt.restore_checkpoint(cfg.train.pretrained_ckpt)
+        assert pre is not None, cfg.train.pretrained_ckpt
+        params = ckpt.initialize_from_baseline(params, pre["params"])
+        if "batch_stats" in pre:
+            bs = dict(batch_stats)
+            for k in pre["batch_stats"]:
+                if k in bs:
+                    bs[k] = pre["batch_stats"][k]
+            batch_stats = bs
+        if is_semi:
+            params = ckpt.initialize_teacher_net(params)
+        print(f"initialized from pretrained {cfg.train.pretrained_ckpt}")
+
+    state = TrainState.create(params, batch_stats, tx)
+    if start_step:
+        state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+
+    mesh = make_mesh(cfg.train.data_parallel)
+    logger = MetricLogger(cfg.ckpt_dir)
+    cfg.save_yaml()
+
+    if is_semi:
+        step_fn = make_semi_train_step(
+            model, cfg.model, gamma=cfg.train.loss_decay_rate,
+            sup_loss_type=cfg.train.loss_type,
+        )
+    elif is_unsup:
+        step_fn = make_unsup_train_step(model, cfg.model)
+    else:
+        step_fn = make_train_step(
+            model, loss_type=cfg.train.loss_type, gamma=cfg.train.loss_decay_rate
+        )
+
+    total = cfg.train.num_steps if max_steps is None else max_steps
+    t0 = time.time()
+    window = []
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        for step_i in range(start_step, total):
+            batch = next(data_iter)
+            if is_semi:
+                sup_b, unsup_b = batch
+                state, metrics = step_fn(
+                    state, shard_batch(_to_semi_sup(sup_b), mesh),
+                    shard_batch(_to_semi_unsup(unsup_b), mesh),
+                )
+            else:
+                state, metrics = step_fn(state, shard_batch(batch, mesh))
+
+            window.append(time.time())
+            if (step_i + 1) % cfg.train.log_every == 0:
+                dt = window[-1] - (window[-cfg.train.log_every] if len(window) > cfg.train.log_every else t0)
+                sps = min(len(window), cfg.train.log_every) / max(dt, 1e-9)
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_sec"] = sps
+                logger.log(step_i + 1, m)
+                print(f"step {step_i+1}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                window = window[-1:]
+
+            if (step_i + 1) % cfg.train.val_step == 0 or (step_i + 1) == total:
+                ckpt.save_checkpoint(
+                    cfg.ckpt_dir, step_i + 1, state.params, state.batch_stats,
+                    state.opt_state,
+                )
+                if validate_fn is not None:
+                    val = validate_fn(step_i + 1, state)
+                    logger.log(step_i + 1, val, prefix="val")
+                    print(f"val {step_i+1}: " + ", ".join(f"{k}={v:.4f}" for k, v in val.items()))
+    logger.close()
+    return state
+
+
+def _to_semi_sup(b: dict) -> dict:
+    return {
+        "image1": b["image1"],
+        "image2": b["image2"],
+        "orig_image1": b["orig_image1"],
+        "orig_image2": b["orig_image2"],
+        "crop_yx": b["crop_yx"],
+        "flow": b["flow"],
+        "valid": b["valid"],
+    }
+
+
+def _to_semi_unsup(b: dict) -> dict:
+    return {
+        "image1": b["image1"],
+        "image2": b["image2"],
+        "orig_image1": b["orig_image1"],
+        "orig_image2": b["orig_image2"],
+        "crop_yx": b["crop_yx"],
+    }

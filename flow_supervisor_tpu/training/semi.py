@@ -45,6 +45,11 @@ def make_semi_train_step(
     donate: bool = True,
 ):
     mc = model_cfg
+    # Semi stages always run with frozen batch norm (reference train.py:180-181
+    # freezes BN for every stage but chairs; semi stages are never chairs).
+    assert model.cfg.freeze_bn, (
+        "semi training requires freeze_bn=True in RAFTConfig (reference parity)"
+    )
     unsup_cfg = UnsupLossConfig(
         census=mc.census_weight,
         smooth1=mc.smooth1_weight,

@@ -38,19 +38,25 @@ def make_unsup_train_step(model: RAFT, model_cfg, donate: bool = True):
     )
 
     def fwd(params, batch_stats, image1, image2, train):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            image1,
-            image2,
-            train=train,
-            use_bw=True,
-            method="unsup_forward",
+        """Returns (out, new_batch_stats); stats pass through unchanged when BN
+        is frozen (every non-chairs stage, reference train.py:180-181)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        if model.cfg.freeze_bn or not train:
+            out = model.apply(
+                variables, image1, image2, train=train, use_bw=True,
+                method="unsup_forward",
+            )
+            return out, batch_stats
+        out, updated = model.apply(
+            variables, image1, image2, train=True, use_bw=True,
+            method="unsup_forward", mutable=["batch_stats"],
         )
+        return out, updated["batch_stats"]
 
     def train_step(state: TrainState, batch: dict[str, Any]):
         # Teacher: same net on the full originals, outside the gradient
         # (reference unsup.py:190 runs it before the tape).
-        teacher = fwd(
+        teacher, stats_after_teacher = fwd(
             state.params, state.batch_stats,
             batch["orig_image1"], batch["orig_image2"], True,
         )
@@ -64,7 +70,9 @@ def make_unsup_train_step(model: RAFT, model_cfg, donate: bool = True):
         full = jnp.stack([batch["orig_image1"], batch["orig_image2"]], axis=1)
 
         def loss_fn(params):
-            out = fwd(params, state.batch_stats, batch["image1"], batch["image2"], True)
+            out, new_stats = fwd(
+                params, stats_after_teacher, batch["image1"], batch["image2"], True
+            )
             total, terms = unsupervised_sequence_loss(
                 images,
                 out["flow_up"],
@@ -75,12 +83,12 @@ def make_unsup_train_step(model: RAFT, model_cfg, donate: bool = True):
                 full_size_images=full,
                 crop_yx=batch["crop_yx"],
             )
-            return total, (terms, out)
+            return total, (terms, out, new_stats)
 
-        (loss, (terms, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        new_state = state.apply_gradients(grads)
+        (loss, (terms, out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         log = {"loss": loss, **{k: v for k, v in terms.items()}}
         if "flow" in batch:
             log["epe"] = jnp.mean(

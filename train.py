@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Usage parity with the reference (``train.py``):
+    python train.py ckpts/raft_baseline/chairs --stage chairs --iters 12 \
+        --image_size 368 496 --num_steps 100000 --lr 4e-4 --batch_size 10
+    python train.py ckpts/semi/sintel --stage semi-sintel_unsup_test-things_unsup \
+        --model_type raft-semi --lr 1e-5 --lr_schedule exponential ...
+
+The config is saved as YAML beside the checkpoints and restored by
+evaluate/extract (cargbox semantics, reference train.py:80-87).
+"""
+from __future__ import annotations
+
+
+def main():
+    from flow_supervisor_tpu.config import (
+        ExperimentConfig,
+        build_argparser,
+        config_from_args,
+    )
+
+    parser = build_argparser()
+    cfg = config_from_args(parser.parse_args())
+    cfg = ExperimentConfig.maybe_restore(cfg.ckpt_dir, cfg)
+
+    from flow_supervisor_tpu.data.pipeline import fetch_dataloader
+    from flow_supervisor_tpu.training.loop import train
+
+    data_iter = fetch_dataloader(cfg.train)
+    train(cfg, data_iter)
+
+
+if __name__ == "__main__":
+    main()
