@@ -40,7 +40,15 @@ def test_forward_parity_with_reference_torch(torch_raft):
     from flow_supervisor_tpu.convert import convert_torch_raft
     from flow_supervisor_tpu.models import RAFT, RAFTConfig
 
-    h, w, iters = 64, 96, 4
+    # Size constraints for an apples-to-apples comparison:
+    # - >= 2px at the coarsest corr level (the torch reference's grid_sample
+    #   normalization divides by W-1 -> NaN for 1-px planes);
+    # - H/8 and W/8 divisible by 8: the torch tree pools the pyramid CASCADED
+    #   with floor division (pytorch/core/corr.py avg_pool2d) while the TF main
+    #   tree — which this framework follows — pools the original volume with
+    #   SAME padding (raft/allfield.py:80-92); they only agree when every level
+    #   divides evenly.
+    h, w, iters = 128, 192, 4
     rng = np.random.default_rng(0)
     img1 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
     img2 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)

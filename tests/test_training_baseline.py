@@ -46,10 +46,12 @@ def test_train_step_runs_and_descends():
     step = make_train_step(model, loss_type="l1", donate=False)
     state1, m1 = step(state, batch)
     cur = state1
-    for _ in range(5):
+    # Adam overshoots in the first few steps at this lr; give it room before
+    # requiring descent on the fixed batch.
+    for _ in range(9):
         cur, m_last = step(cur, batch)
     state3, m3 = cur, m_last
-    assert int(state3.step) == 6
+    assert int(state3.step) == 10
     assert np.isfinite(m1["loss"]) and np.isfinite(m3["epe"])
     assert float(m3["loss"]) < float(m1["loss"])  # same batch -> should descend
     # batch stats actually updated (cnet batch norm)
@@ -76,6 +78,6 @@ def test_data_parallel_mesh_step():
         step = make_train_step(model, donate=False)
         new_state, metrics = step(state, sharded)
     assert np.isfinite(float(metrics["loss"]))
-    # grads were all-reduced: params stay replicated
-    assert len(set(d.devices() if hasattr(d, 'devices') else None
-                   for d in jax.tree_util.tree_leaves(new_state.params)[:1])) == 1
+    # grads were all-reduced: params stay fully replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
