@@ -15,6 +15,9 @@ import json
 
 
 def main():
+    from flow_supervisor_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+
     p = argparse.ArgumentParser()
     p.add_argument("ckpt_dir")
     p.add_argument("--dataset", default="sintel", choices=["sintel", "chairs", "kitti"])

@@ -16,6 +16,9 @@ import os
 
 
 def main():
+    from flow_supervisor_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+
     p = argparse.ArgumentParser()
     p.add_argument("ckpt_dir", nargs="?", default=None,
                    help="checkpoint dir; omit for randomly initialized weights (smoke)")

@@ -254,6 +254,75 @@ def floor_multiple(x: int, m: int = 8) -> int:
     return (x // m) * m
 
 
+class MultiFrameAugmentor(SparseFlowAugmentor):
+    """Triplet augmentor (reference augmentor.py:338-499): shared color jitter
+    over 3 frames (asymmetric prob 0.2), eraser on frames 1 and 3, one spatial
+    transform applied to both flows, keeps the pre-crop full frames + offsets."""
+
+    def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5, do_flip=False,
+                 eraser_aug_prob=0.5):
+        super().__init__(crop_size, min_scale, max_scale, do_flip, eraser_aug_prob)
+        self.asymmetric_color_aug_prob = 0.2
+
+    def __call__(self, img1, img2, img3, flow1, valid1, flow2, valid2, rng):
+        if rng.uniform() < self.asymmetric_color_aug_prob:
+            img1 = self.photo_aug(img1, rng)
+            img2 = self.photo_aug(img2, rng)
+            img3 = self.photo_aug(img3, rng)
+        else:
+            stack = self.photo_aug(np.concatenate([img1, img2, img3], axis=0), rng)
+            img1, img2, img3 = np.split(stack, 3, axis=0)
+        img1, img2, img3 = (np.clip(x, 0.0, 1.0) for x in (img1, img2, img3))
+        img1 = _eraser(img1, rng, self.eraser_aug_prob)
+        img3 = _eraser(img3, rng, self.eraser_aug_prob)
+
+        ht, wd = img1.shape[:2]
+        sx, sy, _ = self._sample_scales(rng, ht, wd)
+        f_imgs = [img1, img2, img3]
+        f_flows, f_valids = [flow1, flow2], [valid1, valid2]
+        if rng.uniform() < self.spatial_aug_prob:
+            t_h, t_w = int(round(ht * sy)), int(round(wd * sx))
+            sy, sx = t_h / ht, t_w / wd
+            imgs = [_resize(x, t_h, t_w) for x in (img1, img2, img3)]
+            flows = [
+                _resize(f, t_h, t_w, nearest=True) * np.asarray([sx, sy], np.float32)
+                for f in (flow1, flow2)
+            ]
+            valids = [_resize(v, t_h, t_w, nearest=True) for v in (valid1, valid2)]
+            y0 = int(rng.integers(0, t_h - ht))
+            x0 = int(rng.integers(0, t_w - wd))
+            sl = np.s_[y0 : y0 + ht, x0 : x0 + wd]
+            f_imgs = [x[sl] for x in imgs]
+            f_flows = [f[sl] for f in flows]
+            f_valids = [v[sl] for v in valids]
+        if self.do_flip:
+            if rng.uniform() < self.h_flip_prob:
+                f_imgs = [x[:, ::-1] for x in f_imgs]
+                f_flows = [f[:, ::-1] * np.asarray([-1.0, 1.0], np.float32) for f in f_flows]
+                f_valids = [v[:, ::-1] for v in f_valids]
+            if rng.uniform() < self.v_flip_prob:
+                f_imgs = [x[::-1] for x in f_imgs]
+                f_flows = [f[::-1] * np.asarray([1.0, -1.0], np.float32) for f in f_flows]
+                f_valids = [v[::-1] for v in f_valids]
+
+        ht, wd = f_imgs[0].shape[:2]
+        y0 = int(rng.integers(0, ht - self.crop_size[0]))
+        x0 = int(rng.integers(0, wd - self.crop_size[1]))
+        sl = np.s_[y0 : y0 + self.crop_size[0], x0 : x0 + self.crop_size[1]]
+        crops = [np.ascontiguousarray(x[sl]).astype(np.float32) for x in f_imgs]
+        flows = [np.ascontiguousarray(f[sl]).astype(np.float32) for f in f_flows]
+        valids = [np.ascontiguousarray(v[sl]).astype(np.float32) for v in f_valids]
+        return {
+            "image1": crops[0], "image2": crops[1], "image3": crops[2],
+            "flow1": flows[0], "valid1": valids[0],
+            "flow2": flows[1], "valid2": valids[1],
+            "orig_image1": np.ascontiguousarray(f_imgs[0]).astype(np.float32),
+            "orig_image2": np.ascontiguousarray(f_imgs[1]).astype(np.float32),
+            "orig_image3": np.ascontiguousarray(f_imgs[2]).astype(np.float32),
+            "crop_yx": np.asarray([y0, x0], np.int32),
+        }
+
+
 class UnsupAugmentor(SparseFlowAugmentor):
     """Full-size frame + 8-aligned crop augmentor for unsup/semi training."""
 

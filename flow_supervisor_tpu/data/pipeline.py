@@ -223,11 +223,27 @@ def stage_records(stage: str):
             recs.extend(base)
             recs.extend(D.backward(base))
         return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
+    if stage == "kitti_unsup":
+        recs = []
+        for interval in (1, 2):
+            base = D.kitti_multiview(True, interval)
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
     if stage == "kitti2015_unsup":
         recs = D.kitti(True)
         return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
+    if stage == "sintel_unsup_labeled_train":
+        recs = []
+        for dstype in ("final", "clean"):
+            base = D.sintel(True, dstype)
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.5, max_scale=0.6, do_flip=True)
     if stage == "hd1k":
         return D.hd1k(), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
+    if stage == "chairs_unsup":
+        return D.flying_chairs(True), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
     raise NotImplementedError(f"unknown stage: {stage}")
 
 

@@ -28,6 +28,16 @@ def make_mesh(n_devices: Optional[int] = None, space: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
+def auto_data_parallel(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest device count <= available that divides the global batch (the
+    reference instead errors when batch % replicas != 0, train.py:111-114)."""
+    avail = len(jax.devices()) if (n_devices is None or n_devices < 0) else n_devices
+    n = min(avail, batch_size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return max(n, 1)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -71,13 +71,19 @@ def restore_checkpoint(
     return out
 
 
+def _deep_copy(tree):
+    import jax.numpy as jnp
+
+    # materialize NEW buffers: aliased leaves across the pytree break buffer
+    # donation in the jitted train step (same buffer donated twice)
+    return jax.tree_util.tree_map(lambda x: jnp.array(x), tree)
+
+
 def initialize_teacher_net(params: dict) -> dict:
     """Copy student update-block weights into the teacher head."""
     assert "update_block" in params, sorted(params)
     new = dict(params)
-    new["teacher_update_block"] = jax.tree_util.tree_map(
-        lambda x: x, params["update_block"]
-    )
+    new["teacher_update_block"] = _deep_copy(params["update_block"])
     return new
 
 
@@ -86,5 +92,5 @@ def initialize_from_baseline(params: dict, baseline_params: dict) -> dict:
     new = dict(params)
     for k in ("fnet", "cnet", "update_block"):
         if k in baseline_params:
-            new[k] = jax.tree_util.tree_map(lambda x: x, baseline_params[k])
+            new[k] = _deep_copy(baseline_params[k])
     return new

@@ -129,7 +129,9 @@ def train(
     if start_step:
         state = state.replace(step=jnp.asarray(start_step, jnp.int32))
 
-    mesh = make_mesh(cfg.train.data_parallel)
+    from flow_supervisor_tpu.parallel.mesh import auto_data_parallel
+
+    mesh = make_mesh(auto_data_parallel(cfg.train.batch_size, cfg.train.data_parallel))
     logger = MetricLogger(cfg.ckpt_dir)
     cfg.save_yaml()
 

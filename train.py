@@ -14,6 +14,9 @@ from __future__ import annotations
 
 
 def main():
+    from flow_supervisor_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+
     from flow_supervisor_tpu.config import (
         ExperimentConfig,
         build_argparser,
