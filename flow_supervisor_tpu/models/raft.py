@@ -200,10 +200,17 @@ class RAFT(nn.Module):
         return net, coords1, jnp.stack(ups), jnp.stack(lows)
 
     def build_corr(self, fmap1, fmap2):
-        vol = all_pairs_correlation(
-            fmap1.astype(self.cfg.dtype), fmap2.astype(self.cfg.dtype), self.cfg.corr_dtype
+        """Correlation pyramid via pooled feature maps (linear-pooling identity;
+        see ops/corr.py build_corr_pyramid_from_fmaps). The backward direction
+        is build_corr(fmap2, fmap1) — no 5-D volume transpose."""
+        from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
+
+        return build_corr_pyramid_from_fmaps(
+            fmap1.astype(self.cfg.dtype),
+            fmap2.astype(self.cfg.dtype),
+            self.cfg.corr_levels,
+            self.cfg.corr_dtype,
         )
-        return build_corr_pyramid(vol, self.cfg.corr_levels)
 
     # ---- standard forward -------------------------------------------------
 
@@ -315,8 +322,6 @@ class RAFT(nn.Module):
           student_fw/bw: [iters, B, h, w, 2], teacher_fw/bw: [t_iters, B, h, w, 2]
           (cropped into the student frame), plus full-size teacher predictions.
         """
-        from flow_supervisor_tpu.ops.corr import transpose_corr_volume
-
         fmap1, fmap2 = self.features(image1, image2, train)
         corr_pyramid = self.build_corr(fmap1, fmap2)
         tf1, tf2 = self.features(orig_image1, orig_image2, train)
@@ -338,14 +343,9 @@ class RAFT(nn.Module):
             "teacher_fw_full": tea_fw_full,
         }
         if use_bw:
-            bw_pyramid = build_corr_pyramid(
-                transpose_corr_volume(corr_pyramid[0]), self.cfg.corr_levels
-            )
+            bw_pyramid = self.build_corr(fmap2, fmap1)
             t_bw_pyramid = [
-                jax.lax.stop_gradient(v)
-                for v in build_corr_pyramid(
-                    transpose_corr_volume(teacher_pyramid[0]), self.cfg.corr_levels
-                )
+                jax.lax.stop_gradient(v) for v in self.build_corr(tf2, tf1)
             ]
             stu_bw, stu_low_bw, tea_bw, tea_bw_full = self._directional(
                 image2, bw_pyramid, t_bw_pyramid, orig_image2,
@@ -361,10 +361,8 @@ class RAFT(nn.Module):
 
     def unsup_forward(self, image1, image2, train: bool = False, use_bw: bool = True):
         """Bidirectional student forward (reference Unsupervised.call,
-        unsup.py:96-130): one correlation matmul serves both directions via the
-        transposed volume."""
-        from flow_supervisor_tpu.ops.corr import transpose_corr_volume
-
+        unsup.py:96-130); the backward pyramid swaps the fmap arguments instead
+        of transposing the 5-D volume."""
         b, h, w, _ = image1.shape
         h8, w8 = downsample_shape(h), downsample_shape(w)
         fmap1, fmap2 = self.features(image1, image2, train)
@@ -377,9 +375,7 @@ class RAFT(nn.Module):
         )
         out = {"flow_up": fw_up, "flow_low": fw_low}
         if use_bw:
-            bw_pyramid = build_corr_pyramid(
-                transpose_corr_volume(corr_pyramid[0]), self.cfg.corr_levels
-            )
+            bw_pyramid = self.build_corr(fmap2, fmap1)
             net2, inp2 = self.context(image2, train)
             _, _, bw_up, bw_low = self.iterate(
                 net2, inp2, bw_pyramid, coords0, coords0, (h, w), self.cfg.iters,

@@ -29,19 +29,30 @@ import jax.numpy as jnp
 def all_pairs_correlation(
     fmap1: jax.Array, fmap2: jax.Array, out_dtype=jnp.float32
 ) -> jax.Array:
-    """corr volume [B, H, W, H, W] = fmap1 . fmap2^T / sqrt(C)."""
-    b, h, w, c = fmap1.shape
-    a = fmap1.reshape(b, h * w, c)
-    bb = fmap2.reshape(b, h * w, c)
+    """corr volume [B, H1, W1, H2, W2] = fmap1 . fmap2^T / sqrt(C).
+
+    fmap2 may have a different (pooled) spatial size than fmap1."""
+    b, h1, w1, c = fmap1.shape
+    _, h2, w2, c2 = fmap2.shape
+    assert c == c2, (fmap1.shape, fmap2.shape)
+    a = fmap1.reshape(b, h1 * w1, c)
+    bb = fmap2.reshape(b, h2 * w2, c)
+    # bf16 inputs already accumulate in fp32 on the MXU; HIGHEST only matters
+    # (and only costs extra passes) for fp32 inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if fmap1.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     corr = jax.lax.dot_general(
         a,
         bb,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    return corr.astype(out_dtype).reshape(b, h, w, h, w)
+    return corr.astype(out_dtype).reshape(b, h1, w1, h2, w2)
 
 
 def _avg_pool_same(vol: jax.Array, k: int) -> jax.Array:
@@ -72,6 +83,42 @@ def build_corr_pyramid(vol: jax.Array, num_levels: int = 4) -> list[jax.Array]:
 def transpose_corr_volume(vol: jax.Array) -> jax.Array:
     """Swap (source, target) pixel axes: [B, H, W, h, w] -> [B, h, w, H, W]."""
     return jnp.transpose(vol, (0, 3, 4, 1, 2))
+
+
+def _avg_pool_fmap_same(fmap: jax.Array, k: int) -> jax.Array:
+    """TF-'SAME' count-aware average pool over the spatial dims of an NHWC map."""
+    b, h, w, c = fmap.shape
+    window = (1, k, k, 1)
+    summed = jax.lax.reduce_window(
+        fmap.astype(jnp.float32), 0.0, jax.lax.add, window, window, "SAME"
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones((1, h, w, 1), jnp.float32), 0.0, jax.lax.add, window, window, "SAME"
+    )
+    return (summed / counts).astype(fmap.dtype)
+
+
+def build_corr_pyramid_from_fmaps(
+    fmap1: jax.Array, fmap2: jax.Array, num_levels: int = 4,
+    out_dtype=jnp.float32,
+) -> list[jax.Array]:
+    """Pyramid via pooled FEATURE maps instead of pooling the 5-D volume.
+
+    Average pooling over target pixels commutes with the inner product:
+    pool_k(corr)[q, p'] = <f1_q, pool_k(f2)[p']>, including TF-'SAME' partial
+    edge windows (both sides divide by the same tap count). Identical result to
+    ``build_corr_pyramid(all_pairs_correlation(f1, f2))`` up to fp reassociation,
+    but pools a [H/8, W/8, C] map instead of a [Q, H/8, W/8] volume, and gives
+    the backward direction for free (swap the arguments) — no giant transpose
+    (the reference transposes the full volume, raft/unsup.py:122-127).
+    """
+    pyramid = [all_pairs_correlation(fmap1, fmap2, out_dtype)]
+    scale = 2
+    for _ in range(num_levels - 1):
+        pooled = _avg_pool_fmap_same(fmap2, scale)
+        pyramid.append(all_pairs_correlation(fmap1, pooled, out_dtype))
+        scale *= 2
+    return pyramid
 
 
 def _lookup_window_offsets(radius: int, dtype=jnp.float32) -> jax.Array:
@@ -161,10 +208,15 @@ def _lookup_level_matmul(vol: jax.Array, coords: jax.Array, radius: int) -> jax.
     rx = _interp_matrix(x, w2, radius).astype(vol.dtype)  # [b, q, K+1, w2]
     v = vol.reshape(b, q, h2, w2)
 
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if vol.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     tmp = jnp.einsum(
         "bquy,bqyx->bqux", ry, v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     patch = jnp.einsum(
         "bqux,bqvx->bquv", tmp, rx.astype(jnp.float32),

@@ -33,3 +33,19 @@ def test_matmul_lookup_integer_coords_exact():
     a = np.asarray(corr_pyramid_lookup([vol], coords, radius=1))
     b = np.asarray(corr_pyramid_lookup_gather([vol], coords, radius=1))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_fmap_pooling_identity():
+    # pooling the volume over target pixels == correlating with pooled fmap2
+    from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
+
+    rng = np.random.default_rng(2)
+    f1 = rng.normal(size=(1, 6, 10, 8)).astype(np.float32)
+    f2 = rng.normal(size=(1, 6, 10, 8)).astype(np.float32)
+    ref = build_corr_pyramid(
+        all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2)), num_levels=4
+    )
+    new = build_corr_pyramid_from_fmaps(jnp.asarray(f1), jnp.asarray(f2), 4)
+    for a, b in zip(ref, new):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
