@@ -1,0 +1,60 @@
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from flow_supervisor_tpu.data import native
+from flow_supervisor_tpu.data.io import read_flo as np_read_flo, write_flo
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    so = os.path.join(ROOT, "native", "libfst_io.so")
+    if not os.path.exists(so):
+        subprocess.run(["sh", os.path.join(ROOT, "native", "build.sh")], check=True)
+    assert native.available()
+
+
+def test_native_flo_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    flow = rng.normal(0, 5, (9, 13, 2)).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    write_flo(p, flow)
+    np.testing.assert_array_equal(native.read_flo(p), np_read_flo(p))
+    np.testing.assert_array_equal(native.read_flo(p), flow)
+
+
+def test_native_ppm(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    p = str(tmp_path / "x.ppm")
+    with open(p, "wb") as f:
+        f.write(b"P6\n5 7\n255\n")
+        f.write(img.tobytes())
+    out = native.read_ppm(p)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_native_pfm(tmp_path):
+    data = np.arange(24, dtype="<f4").reshape(4, 6)
+    p = str(tmp_path / "x.pfm")
+    with open(p, "wb") as f:
+        f.write(b"Pf\n6 4\n-1.0\n")
+        data.tofile(f)
+    out = native.read_pfm(p)
+    np.testing.assert_array_equal(out, np.flipud(data))
+
+
+def test_native_flo_batch(tmp_path):
+    rng = np.random.default_rng(2)
+    flows = [rng.normal(0, 2, (6, 8, 2)).astype(np.float32) for _ in range(5)]
+    paths = []
+    for i, fl in enumerate(flows):
+        p = str(tmp_path / f"{i}.flo")
+        write_flo(p, fl)
+        paths.append(p)
+    out = native.read_flo_batch(paths, 6, 8, threads=3)
+    np.testing.assert_array_equal(out, np.stack(flows))
