@@ -53,10 +53,12 @@ def main():
     out = forward(img1, img2)
     jax.block_until_ready(out)
 
+    # vary the input each call: the execution layer may memoize identical
+    # (executable, inputs) launches, which would undercount the real step time
     n = 20
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = forward(img1, img2)
+    for i in range(n):
+        out = forward(img1 + (i * 1e-5), img2)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

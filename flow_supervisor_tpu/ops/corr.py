@@ -16,9 +16,12 @@ Behavioral contract (matching reference ``raft/allfield.py``):
 - ``transpose_corr_volume``: swap source/target pixels so one matmul serves both
   flow directions (reference backward-flow trick, raft/unsup.py:122-127).
 
-The lookup is expressed as one batched ``take_along_axis`` gather per corner over
-the flattened target axis — static shapes, no scatter; a fused Pallas kernel in
-``flow_supervisor_tpu.kernels`` replaces volume materialization on the hot path.
+The production lookup (``corr_pyramid_lookup``) is GATHER-FREE: bilinear window
+sampling is expressed as two batched one-hot matmuls on the MXU, with the
+gather formulation kept as a correctness oracle. The pyramid itself is built
+from POOLED FEATURE MAPS (``build_corr_pyramid_from_fmaps``) — average pooling
+over target pixels commutes with the inner product — replacing both the 5-D
+volume pooling and the backward-direction transpose.
 """
 from __future__ import annotations
 
