@@ -53,13 +53,15 @@ def main():
     out = forward(img1, img2)
     jax.block_until_ready(out)
 
-    # vary the input each call: the execution layer may memoize identical
-    # (executable, inputs) launches, which would undercount the real step time
-    n = 20
+    # Sustained throughput: vary the input each call (the execution layer
+    # memoizes identical launches) and block on EVERY output. n is large enough
+    # to amortize dispatch-pipeline fill.
+    n = 50
     t0 = time.perf_counter()
+    outs = []
     for i in range(n):
-        out = forward(img1 + (i * 1e-5), img2)
-    jax.block_until_ready(out)
+        outs.append(forward(img1 + (i * 1e-5), img2))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = n / dt
