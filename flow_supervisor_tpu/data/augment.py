@@ -254,6 +254,44 @@ def floor_multiple(x: int, m: int = 8) -> int:
     return (x // m) * m
 
 
+def random_rotation(
+    images: list[np.ndarray],
+    flow: np.ndarray,
+    mask: np.ndarray,
+    max_rotation: float,
+    rng: np.random.Generator,
+):
+    """Flow-aware random rotation (reference ``uflow/uflow_augmentation.py:211-265``,
+    used by the augmentors when do_rotation is enabled): rotates images, the
+    flow FIELD, the flow VECTORS, and renormalizes by the rotated mask so border
+    fill doesn't bleed into valid flow."""
+    angle_deg = rng.uniform(-max_rotation, max_rotation)
+    a = np.deg2rad(angle_deg)
+    h, w = images[0].shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle_deg, 1.0)
+
+    def rot(x, nearest=False):
+        interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        out = cv2.warpAffine(x, m, (w, h), flags=interp)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        return out
+
+    images = [rot(im) for im in images]
+    # mask-weighted flow rotation: rotate flow*mask and mask, renormalize
+    fm = rot(flow * mask)
+    mm = rot(mask)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flow = np.where(mm > 0, fm / np.maximum(mm, 1e-12), 0.0)
+    mask = (mm > 0.999).astype(np.float32)
+    # rotate the flow vectors themselves
+    cos, sin = np.cos(a), np.sin(a)
+    fx = cos * flow[..., 0] + sin * flow[..., 1]
+    fy = -sin * flow[..., 0] + cos * flow[..., 1]
+    flow = np.stack([fx, fy], axis=-1).astype(np.float32)
+    return images, flow, mask
+
+
 class MultiFrameAugmentor(SparseFlowAugmentor):
     """Triplet augmentor (reference augmentor.py:338-499): shared color jitter
     over 3 frames (asymmetric prob 0.2), eraser on frames 1 and 3, one spatial

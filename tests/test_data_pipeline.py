@@ -139,3 +139,19 @@ def test_load_record_unlabeled_dummy(tmp_path):
     img1, img2, flow, valid = load_record(FlowRecord((p1, p2)))
     assert flow.shape == (40, 50, 2) and (flow == 0).all()
     assert (valid == 0).all()
+
+
+def test_random_rotation_flow_aware():
+    from flow_supervisor_tpu.data.augment import random_rotation
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    flow = np.zeros((64, 64, 2), np.float32)
+    flow[..., 0] = 4.0  # uniform +4 px in x
+    mask = np.ones((64, 64, 1), np.float32)
+    (img1r,), flow_r, mask_r = random_rotation([img], flow, mask, 10.0, rng)
+    assert img1r.shape == img.shape and flow_r.shape == flow.shape
+    # vector magnitude preserved under rotation (interior pixels)
+    mags = np.linalg.norm(flow_r[20:44, 20:44], axis=-1)
+    valid = mask_r[20:44, 20:44, 0] > 0
+    np.testing.assert_allclose(mags[valid], 4.0, atol=0.2)

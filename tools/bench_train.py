@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark the flow-supervisor (semi) training step on hardware at the
+reference semi-sintel recipe shapes (train.sh:10-16): sup crop 400x720, unsup
+crop 368x768, full frames 432x1024, batch 1, 12 student + 12 teacher iters."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flow_supervisor_tpu.config import ModelCfg
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+    from flow_supervisor_tpu.training.optim import adamw
+    from flow_supervisor_tpu.training.semi import make_semi_train_step
+    from flow_supervisor_tpu.training.state import TrainState
+
+    small = "--small-shapes" in sys.argv
+    sup_hw = (160, 224) if small else (400, 720)
+    unsup_hw = (160, 256) if small else (368, 768)
+    full_hw = (192, 320) if small else (432, 1024)
+    iters = 4 if small else 12
+
+    cfg = RAFTConfig(
+        iters=iters, teacher=True, teacher_iters=iters, freeze_bn=True,
+        dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16, update_ckpt=True,
+    ).resolved()
+    model = RAFT(cfg)
+    mc = ModelCfg(teacher_iters=iters, lfr_loss_type="robust")
+
+    rng = np.random.default_rng(0)
+    img = lambda s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
+    sup = {
+        "image1": img((1, *sup_hw, 3)),
+        "image2": img((1, *sup_hw, 3)),
+        "orig_image1": img((1, *full_hw, 3)),
+        "orig_image2": img((1, *full_hw, 3)),
+        "crop_yx": jnp.zeros((1, 2), jnp.int32) + 16,
+        "flow": img((1, *sup_hw, 2)),
+        "valid": jnp.ones((1, *sup_hw, 1), jnp.float32),
+    }
+    unsup = {
+        "image1": img((1, *unsup_hw, 3)),
+        "image2": img((1, *unsup_hw, 3)),
+        "orig_image1": img((1, *full_hw, 3)),
+        "orig_image2": img((1, *full_hw, 3)),
+        "crop_yx": jnp.zeros((1, 2), jnp.int32) + 16,
+    }
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        sup["image1"], sup["image2"], sup["orig_image1"], sup["orig_image2"],
+        sup["crop_yx"], train=False, method="semi_forward",
+    )
+    tx = adamw(lambda s: 1e-5, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_semi_train_step(model, mc, donate=False)
+
+    state, log = step(state, sup, unsup)
+    jax.block_until_ready(state.params)
+    print("first step ok:", {k: round(float(v), 4) for k, v in log.items()},
+          file=sys.stderr)
+
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        sup_i = dict(sup, image1=sup["image1"] + i * 1e-5)
+        state, log = step(state, sup_i, unsup)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "semi_train_steps_per_sec",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/sec",
+        "ms_per_step": round(dt * 1000, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
