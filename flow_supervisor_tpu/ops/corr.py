@@ -254,3 +254,97 @@ def corr_pyramid_lookup(
     for i, vol in enumerate(pyramid):
         outs.append(_lookup_level_matmul(vol, coords / (2.0**i), radius))
     return jnp.concatenate(outs, axis=-1)
+
+
+# ---- combined-plane lookup: one einsum pair for ALL levels -----------------
+
+
+def combine_pyramid(pyramid: list[jax.Array]) -> jax.Array:
+    """Pack all pyramid levels side-by-side into one plane [B, h1, w1, Hmax, Wtot].
+
+    The lookup's one-hot supports select columns by exact index with per-level
+    validity masking, so no gap columns are needed between levels."""
+    b, h1, w1, h0, _ = pyramid[0].shape
+    padded = []
+    for vol in pyramid:
+        hl = vol.shape[3]
+        padded.append(
+            jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, h0 - hl), (0, 0)))
+        )
+    return jnp.concatenate(padded, axis=-1)
+
+
+def _masked_support(pos, u_size, size, offset, radius, axis_len):
+    """One-hot [b, q, u_size, axis_len]: column offset+s matches iff the level
+    support s = floor(pos)+u-radius lies in [0, size)."""
+    b, q = pos.shape
+    base = jnp.floor(pos).astype(jnp.int32)
+    u = jax.lax.broadcasted_iota(jnp.int32, (u_size, 1), 0)
+    s = base[..., None, None] + (u - radius)[None, None]  # [b, q, u, 1]
+    valid = (s >= 0) & (s < size)
+    target = jnp.where(valid, s + offset, -1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, axis_len), 1)
+    return (target == c[None, None]).astype(jnp.float32)
+
+
+def corr_pyramid_lookup_combined(
+    combined: jax.Array,
+    level_shapes: list[tuple[int, int]],
+    coords: jax.Array,
+    radius: int = 4,
+) -> jax.Array:
+    """Lookup over the combined plane: 2 batched einsums per call instead of
+    2 per level — 4x fewer dispatches for 4x (tiny) extra FLOPs; the per-level
+    diagonal blocks of the joint patch are extracted and bilinearly combined.
+
+    Bit-equivalent to ``corr_pyramid_lookup`` on the same pyramid."""
+    b, h1, w1, hmax, wtot = combined.shape
+    k = 2 * radius + 1
+    q = h1 * w1
+    nl = len(level_shapes)
+    u_size = k + 1
+
+    rys, rxs, fracs = [], [], []
+    x_off = 0
+    for i, (hl, wl) in enumerate(level_shapes):
+        cl = coords.reshape(b, q, 2) / (2.0**i)
+        x, y = cl[..., 0], cl[..., 1]
+        rys.append(_masked_support(y, u_size, hl, 0, radius, hmax))
+        rxs.append(_masked_support(x, u_size, wl, x_off, radius, wtot))
+        fx = (x - jnp.floor(x)).astype(jnp.float32)
+        fy = (y - jnp.floor(y)).astype(jnp.float32)
+        fracs.append((fx[..., None, None], fy[..., None, None]))
+        x_off += wl
+
+    ry = jnp.concatenate(rys, axis=2).astype(combined.dtype)  # [b, q, L*U, Hmax]
+    rx = jnp.concatenate(rxs, axis=2).astype(combined.dtype)  # [b, q, L*U, Wtot]
+    v = combined.reshape(b, q, hmax, wtot)
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if combined.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    tmp = jnp.einsum(
+        "bquy,bqyx->bqux", ry, v,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    patch_all = jnp.einsum(
+        "bqux,bqvx->bquv", tmp, rx.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # [b, q, L*U (y), L*U (x)]
+
+    outs = []
+    for i in range(nl):
+        blk = patch_all[
+            :, :, i * u_size : (i + 1) * u_size, i * u_size : (i + 1) * u_size
+        ]
+        fx, fy = fracs[i]
+        out = (
+            (1.0 - fy) * (1.0 - fx) * blk[:, :, :k, :k]
+            + (1.0 - fy) * fx * blk[:, :, :k, 1:]
+            + fy * (1.0 - fx) * blk[:, :, 1:, :k]
+            + fy * fx * blk[:, :, 1:, 1:]
+        )
+        outs.append(jnp.transpose(out, (0, 1, 3, 2)).reshape(b, h1, w1, k * k))
+    return jnp.concatenate(outs, axis=-1)

@@ -49,3 +49,22 @@ def test_fmap_pooling_identity():
     for a, b in zip(ref, new):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_combined_plane_lookup_matches():
+    from flow_supervisor_tpu.ops.corr import (
+        build_corr_pyramid_from_fmaps,
+        combine_pyramid,
+        corr_pyramid_lookup_combined,
+    )
+
+    rng = np.random.default_rng(3)
+    f1 = rng.normal(size=(1, 8, 12, 16)).astype(np.float32)
+    f2 = rng.normal(size=(1, 8, 12, 16)).astype(np.float32)
+    pyr = build_corr_pyramid_from_fmaps(jnp.asarray(f1), jnp.asarray(f2), 4)
+    coords = jnp.asarray(rng.uniform(-3.0, 15.0, (1, 8, 12, 2)).astype(np.float32))
+    combined = combine_pyramid(pyr)
+    shapes = [(p.shape[3], p.shape[4]) for p in pyr]
+    a = np.asarray(corr_pyramid_lookup_combined(combined, shapes, coords, 4))
+    b = np.asarray(corr_pyramid_lookup(pyr, coords, radius=4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
