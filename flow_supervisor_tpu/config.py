@@ -145,17 +145,44 @@ def _add_dataclass_args(parser: ArgumentParser, dc, prefix: str = "") -> None:
             parser.add_argument(name, type=type(default), default=default)
 
 
+# reference flag spellings -> our field names (usability parity with train.sh)
+FLAG_ALIASES = {
+    "--max_step": "num_steps",
+    "--learning_rate": "lr",
+    "--sup_image_size": "image_size",
+    "--main_loss": "loss_type",
+    "--smurf_occlusion": "occlusion",
+    "--ckpt_path": "ckpt_dir",
+}
+
+
 def build_argparser(cfg: Optional[ExperimentConfig] = None) -> ArgumentParser:
     cfg = cfg or ExperimentConfig()
     p = ArgumentParser("flow_supervisor_tpu")
     p.add_argument("ckpt_dir", nargs="?", default=cfg.ckpt_dir)
     _add_dataclass_args(p, cfg.model)
     _add_dataclass_args(p, cfg.train)
+    for alias, dest in FLAG_ALIASES.items():
+        if dest == "ckpt_dir":
+            continue
+        default = getattr(cfg.train, dest, getattr(cfg.model, dest, None))
+        if dest == "image_size":
+            p.add_argument(alias, dest=dest + "_alias", type=int, nargs=2, default=None)
+        elif isinstance(default, float):
+            p.add_argument(alias, dest=dest + "_alias", type=float, default=None)
+        elif isinstance(default, int):
+            p.add_argument(alias, dest=dest + "_alias", type=int, default=None)
+        else:
+            p.add_argument(alias, dest=dest + "_alias", type=str, default=None)
     return p
 
 
 def config_from_args(args) -> ExperimentConfig:
-    d = vars(args)
+    d = dict(vars(args))
+    for dest in set(FLAG_ALIASES.values()):
+        v = d.pop(dest + "_alias", None)
+        if v is not None:
+            d[dest] = v
     model = {f.name: d[f.name] for f in dataclasses.fields(ModelCfg) if f.name in d}
     train = {f.name: d[f.name] for f in dataclasses.fields(TrainCfg) if f.name in d}
     for k in ("image_size", "unsup_image_size", "full_size"):

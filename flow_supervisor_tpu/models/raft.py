@@ -50,6 +50,7 @@ class RAFTConfig:
     teacher: bool = False  # add the flow-supervisor teacher update block
     teacher_iters: int = 12  # reference default (semi.py:550)
     update_ckpt: bool = False  # remat each refinement iteration
+    scan_iters: bool = True  # lax.scan over iterations (False = unroll)
     freeze_bn: bool = False  # use running batch-norm stats even in training
     # (reference freezes BN for every stage but chairs, train.py:180-181)
     # GMA variant (reference pytorch/core/gma_network.py)
@@ -70,7 +71,11 @@ class RAFTConfig:
 
     def resolved(self) -> "RAFTConfig":
         if self.small:
-            return dataclasses.replace(self, corr_levels=4, corr_radius=3)
+            # small model has no convex-upsampling mask head (RAFTArgs raises on
+            # the combination, raft/__init__.py:40-42)
+            return dataclasses.replace(
+                self, corr_levels=4, corr_radius=3, convex_upsampling=False
+            )
         return dataclasses.replace(self, corr_levels=4, corr_radius=4)
 
 
@@ -167,36 +172,60 @@ class RAFT(nn.Module):
         """Run `iters` refinement steps; returns (net, coords1, flows_up, flows_low).
 
         flows_up: [iters, B, H, W, 2] full-res; flows_low: [iters, B, h8, w8, 2].
+
+        The loop runs under ``lax.scan`` with broadcast parameters (one copy of
+        the update block in the compiled program instead of ``iters`` — an
+        order-of-magnitude smaller HLO and faster compiles than the reference's
+        unrolled Python loop); ``cfg.scan_iters=False`` falls back to unrolling.
         """
-        block = self.teacher_update_block if teacher else self.update_block
-        ups, lows = [], []
-        for _ in range(iters):
+
+        def step(mdl, carry, _):
+            net, coords1 = carry
+            block = mdl.teacher_update_block if teacher else mdl.update_block
             if stop_coord_gradient:
                 coords1 = jax.lax.stop_gradient(coords1)
             flow = coords1 - coords0
-            corr = corr_pyramid_lookup(corr_pyramid, coords1, self.cfg.corr_radius)
+            corr = corr_pyramid_lookup(corr_pyramid, coords1, mdl.cfg.corr_radius)
             block_args = (
                 net,
                 inp,
-                corr.astype(self.cfg.dtype),
-                flow.astype(self.cfg.dtype),
+                corr.astype(mdl.cfg.dtype),
+                flow.astype(mdl.cfg.dtype),
             )
-            if self.cfg.gma:
+            if mdl.cfg.gma:
                 net, up_mask, delta = block(*block_args, attention)
             else:
                 net, up_mask, delta = block(*block_args)
             coords1 = coords1 + delta.astype(jnp.float32)
             flow_low = coords1 - coords0
-            lows.append(flow_low)
             if up_mask is None:
-                raise NotImplementedError(
-                    "non-convex upsampling is not implemented (parity with "
-                    "reference raft/__init__.py:167-168)"
+                # small model: bilinear x8 upsample (the reference raises here,
+                # raft/__init__.py:167-168 — we keep the small variant usable)
+                flow_up = resize_flow(flow_low, out_size, scaling=True)
+            else:
+                flow_up = (
+                    upsample_convex(flow_low, up_mask.astype(jnp.float32), out_size)
+                    * 8.0
                 )
-            flow_up = (
-                upsample_convex(flow_low, up_mask.astype(jnp.float32), out_size) * 8.0
+            return (net, coords1), (flow_up, flow_low)
+
+        if self.cfg.scan_iters:
+            scan = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=iters,
             )
+            (net, coords1), (ups, lows) = scan(self, (net, coords1), None)
+            return net, coords1, ups, lows
+
+        ups, lows = [], []
+        carry = (net, coords1)
+        for _ in range(iters):
+            carry, (flow_up, flow_low) = step(self, carry, None)
             ups.append(flow_up)
+            lows.append(flow_low)
+        net, coords1 = carry
         return net, coords1, jnp.stack(ups), jnp.stack(lows)
 
     def build_corr(self, fmap1, fmap2):

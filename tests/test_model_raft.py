@@ -91,3 +91,35 @@ def test_teacher_head_shares_encoders():
 
     variables2 = model.init(jax.random.PRNGKey(0), method=run)
     assert "teacher_update_block" in variables2["params"]
+
+
+def test_small_model_forward():
+    # small variant: bottleneck encoders, ConvGRU, bilinear x8 upsample
+    cfg = RAFTConfig(iters=2, small=True).resolved()
+    assert not cfg.convex_upsampling and cfg.corr_radius == 3
+    model = RAFT(cfg)
+    img = jnp.full((1, 48, 64, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(0), img, img, train=False)
+    out = model.apply(variables, img, img, train=False)
+    assert out["flow_up"].shape == (2, 1, 48, 64, 2)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    assert n_params < 1.5e6, n_params  # small RAFT ~1M params
+
+
+def test_scan_matches_unrolled():
+    import dataclasses
+
+    cfg = RAFTConfig(iters=3).resolved()
+    model_scan = RAFT(dataclasses.replace(cfg, scan_iters=True))
+    model_unroll = RAFT(dataclasses.replace(cfg, scan_iters=False))
+    img1 = jnp.full((1, 32, 48, 3), 0.4)
+    img2 = jnp.roll(img1, 1, axis=2) * 0.9
+    v = model_scan.init(jax.random.PRNGKey(3), img1, img2, train=False)
+    a = model_scan.apply(v, img1, img2, train=False)
+    b = model_unroll.apply(v, img1, img2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a["flow_up"]), np.asarray(b["flow_up"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["flow_low"]), np.asarray(b["flow_low"]), rtol=1e-5, atol=1e-5
+    )
