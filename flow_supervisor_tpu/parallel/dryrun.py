@@ -18,6 +18,18 @@ def run_dryrun(n_devices: int) -> None:
     from flow_supervisor_tpu.training.semi import make_semi_train_step
     from flow_supervisor_tpu.training.state import TrainState
 
+    import os
+
+    # The driver validates multi-chip sharding with virtual CPU devices
+    # (xla_force_host_platform_device_count). A TPU plugin may have overridden
+    # jax_platforms at interpreter start, and the override cannot be undone once
+    # backends are initialized — so when the virtual-CPU flag is present, force
+    # the CPU platform BEFORE the first device query.
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     devs = jax.devices()
     assert len(devs) >= n_devices, (len(devs), n_devices)
     mesh = make_mesh(n_devices)
