@@ -148,8 +148,8 @@ def train(
         )
 
     total = cfg.train.num_steps if max_steps is None else max_steps
-    t0 = time.time()
-    window = []
+    last_log_time = time.time()
+    steps_since_log = 0
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
         for step_i in range(start_step, total):
@@ -163,15 +163,17 @@ def train(
             else:
                 state, metrics = step_fn(state, shard_batch(batch, mesh))
 
-            window.append(time.time())
+            steps_since_log += 1
             if (step_i + 1) % cfg.train.log_every == 0:
-                dt = window[-1] - (window[-cfg.train.log_every] if len(window) > cfg.train.log_every else t0)
-                sps = min(len(window), cfg.train.log_every) / max(dt, 1e-9)
+                # materialize metrics first: dispatch is async, so wall time is
+                # only meaningful after the device work is consumed
                 m = {k: float(v) for k, v in metrics.items()}
-                m["steps_per_sec"] = sps
+                now = time.time()
+                m["steps_per_sec"] = steps_since_log / max(now - last_log_time, 1e-9)
+                last_log_time = now
+                steps_since_log = 0
                 logger.log(step_i + 1, m)
                 print(f"step {step_i+1}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
-                window = window[-1:]
 
             if (step_i + 1) % cfg.train.val_step == 0 or (step_i + 1) == total:
                 ckpt.save_checkpoint(
