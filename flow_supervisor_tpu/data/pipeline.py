@@ -244,6 +244,34 @@ def stage_records(stage: str):
         return D.hd1k(), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
     if stage == "chairs_unsup":
         return D.flying_chairs(True), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
+    if stage == "ctskh":
+        # mixed C+T+S+K+H supervised stage (the sup side of the reference's
+        # C+T+S+K+H+DAVIS checkpoints, README.md:31-33), with RAFT's standard
+        # oversampling: 100x sintel, 200x kitti, 5x hd1k vs 1x things
+        recs = []
+        things = D.flying_things("frames_cleanpass")
+        recs += things
+        for dstype in ("clean", "final"):
+            recs += D.sintel(True, dstype) * 100
+        recs += D.kitti(True) * 200
+        recs += D.hd1k() * 5
+        return recs, dict(min_scale=-0.2, max_scale=0.6, do_flip=True)
+    if stage == "davis_unsup":
+        # unlabeled DAVIS frame pairs (the reference's DAVIS semi recipes,
+        # README.md:31-33 + samples/README.md), fwd+bwd directions
+        import os as _os
+        from flow_supervisor_tpu.data import paths as _paths
+
+        recs = []
+        frame_root = _os.path.join(_paths.DAVIS, "JPEGImages", "480p")
+        scene_dirs = (
+            sorted(_os.listdir(frame_root)) if _os.path.isdir(frame_root) else []
+        )
+        for scene in scene_dirs:
+            base = D.frames_directory(_os.path.join(frame_root, scene))
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        return recs, dict(min_scale=-0.5, max_scale=0.6, do_flip=True)
     raise NotImplementedError(f"unknown stage: {stage}")
 
 
