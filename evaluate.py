@@ -26,6 +26,11 @@ def main():
     p.add_argument("--use_teacher", action="store_true",
                    help="also score the teacher head (semi checkpoints)")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--precision", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="eval compute dtype (fp32 default for parity; the "
+                        "reference evaluates fp32 unless --mixed_precision, "
+                        "evaluate.py:81-83)")
     args = p.parse_args()
 
     from flow_supervisor_tpu.config import ExperimentConfig
@@ -36,6 +41,7 @@ def main():
 
     cfg = ExperimentConfig.load_yaml(args.ckpt_dir)
     cfg.ckpt_dir = args.ckpt_dir
+    cfg.model.compute_dtype = args.precision
     model = build_model(cfg)
     variables = init_variables(model, cfg)
     restored = ckpt.restore_checkpoint(args.ckpt_dir, step=args.step)

@@ -44,6 +44,7 @@ def main():
         cfg.ckpt_dir = args.ckpt_dir
     else:
         cfg = ExperimentConfig()
+    cfg.model.compute_dtype = "float32"  # fp32 extraction for parity
     model = build_model(cfg)
     variables = init_variables(model, cfg)
     if args.ckpt_dir:
