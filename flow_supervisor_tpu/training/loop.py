@@ -64,12 +64,23 @@ def init_variables(model: RAFT, cfg: ExperimentConfig, rng_key=None):
 
 
 class MetricLogger:
-    """JSONL metric log + console echo (TensorBoard-equivalent observability)."""
+    """JSONL metric log + console echo, plus TensorBoard event files when
+    TensorFlow is importable (reference observability: TensorBoard scalars
+    every 10 steps + per-epoch validation writers, train.py:211-217)."""
 
     def __init__(self, ckpt_dir: str):
         os.makedirs(ckpt_dir, exist_ok=True)
         self.path = os.path.join(ckpt_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
+        self._tb = None
+        try:
+            import tensorflow as tf  # optional
+
+            self._tb = tf.summary.create_file_writer(
+                os.path.join(ckpt_dir, "tb")
+            )
+        except Exception:
+            pass
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
         row = {"step": step, "prefix": prefix}
@@ -81,9 +92,19 @@ class MetricLogger:
         )
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    if not isinstance(v, str):
+                        tf.summary.scalar(f"{prefix}/{k}", float(v), step=step)
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def train(
