@@ -20,7 +20,8 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("ckpt_dir")
-    p.add_argument("--dataset", default="sintel", choices=["sintel", "chairs", "kitti"])
+    p.add_argument("--dataset", default="sintel",
+                   choices=["sintel", "chairs", "kitti", "kitti2012"])
     p.add_argument("--eval_iters", type=int, default=None)
     p.add_argument("--warm_start", action="store_true")
     p.add_argument("--use_teacher", action="store_true",
@@ -65,6 +66,9 @@ def main():
         results = ev.evaluate(recs, sparse=False)
     elif args.dataset == "kitti":
         recs = D.kitti(training=True)
+        results = ev.evaluate(recs, sparse=True, warm_start=args.warm_start)
+    elif args.dataset == "kitti2012":
+        recs = D.kitti_2012(training=True)
         results = ev.evaluate(recs, sparse=True, warm_start=args.warm_start)
 
     print(json.dumps(results, indent=2))

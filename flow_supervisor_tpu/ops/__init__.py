@@ -15,7 +15,11 @@ from flow_supervisor_tpu.ops.resampler import resampler, resample_flow_lookup
 from flow_supervisor_tpu.ops.corr import (
     all_pairs_correlation,
     build_corr_pyramid,
+    build_corr_pyramid_from_fmaps,
+    combine_pyramid,
     corr_pyramid_lookup,
+    corr_pyramid_lookup_combined,
+    corr_pyramid_lookup_gather,
     transpose_corr_volume,
 )
 from flow_supervisor_tpu.ops.upsample import upsample_convex

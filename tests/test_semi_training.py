@@ -147,3 +147,27 @@ def test_dryrun_multichip():
     from flow_supervisor_tpu.parallel.dryrun import run_dryrun
 
     run_dryrun(8)
+
+
+def test_unsup_train_step_on_mesh():
+    # the Unsupervised path also runs data-parallel over the virtual mesh
+    from flow_supervisor_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    cfg = RAFTConfig(iters=1, freeze_bn=True).resolved()
+    model = RAFT(cfg)
+    sup, unsup = _batches(b=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), unsup["image1"][:1], unsup["image2"][:1],
+        train=False, method="unsup_forward",
+    )
+    mc = ModelCfg(census_weight=1.0, smooth2_weight=2.0, occlusion="wang")
+    tx = adamw(lambda s: 1e-4, lambda s: 0.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_unsup_train_step(model, mc, donate=False)
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        batch = shard_batch(unsup, mesh)
+        s1, log = step(state, batch)
+    assert np.isfinite(float(log["loss"]))

@@ -97,3 +97,48 @@ def test_l2l_teacher_mapping(torch_raft):
     a = params["teacher_update_block"]["FlowHead_0"]["UpdateConv_0"]["Conv_0"]["kernel"]
     b = params["update_block"]["FlowHead_0"]["UpdateConv_0"]["Conv_0"]["kernel"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_gma_forward_parity_with_reference_torch():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from argparse import Namespace
+
+    sys.path.insert(0, REF)
+    sys.path.insert(0, os.path.join(REF, "core"))
+    from core.gma_network import RAFTGMA
+
+    from flow_supervisor_tpu.convert import convert_torch_raft
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+
+    torch.manual_seed(11)
+    tm = RAFTGMA(
+        Namespace(
+            small=False, dropout=0.0, alternate_corr=False, mixed_precision=False,
+            num_heads=1, position_only=False, position_and_content=False,
+        )
+    )
+    tm.eval()
+
+    h, w, iters = 128, 192, 3
+    rng = np.random.default_rng(1)
+    img1 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        t1 = torch.from_numpy(img1.transpose(0, 3, 1, 2))
+        t2 = torch.from_numpy(img2.transpose(0, 3, 1, 2))
+        _, up_t = tm(t1, t2, iters=iters, test_mode=True)
+    up_t = up_t.numpy().transpose(0, 2, 3, 1)
+
+    params, stats = convert_torch_raft(tm.state_dict(), gma=True)
+    model = RAFT(RAFTConfig(iters=iters, gma=True).resolved())
+    variables = {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
+    }
+    out = model.apply(
+        variables, jnp.asarray(img1 / 255.0), jnp.asarray(img2 / 255.0), train=False
+    )
+    err = np.abs(np.asarray(out["flow_up"][-1]) - up_t).max()
+    assert err < 2e-2, err
