@@ -50,7 +50,11 @@ class RAFTConfig:
     teacher: bool = False  # add the flow-supervisor teacher update block
     teacher_iters: int = 12  # reference default (semi.py:550)
     update_ckpt: bool = False  # remat each refinement iteration
-    scan_iters: bool = True  # lax.scan over iterations (False = unroll)
+    # lax.scan over iterations: 12x smaller HLO / far faster compiles, but
+    # measurably slower on-device (8% fwd; 3.5x on the remat training step —
+    # scan blocks cross-iteration scheduling). Unrolled is the production
+    # default; flip on for fast-compile development loops.
+    scan_iters: bool = False
     freeze_bn: bool = False  # use running batch-norm stats even in training
     # (reference freezes BN for every stage but chairs, train.py:180-181)
     # GMA variant (reference pytorch/core/gma_network.py)
