@@ -121,3 +121,26 @@ def test_kitti2015_and_labeled_train(fake_root):
     assert len(k) == 2 and all(r.sparse for r in k)
     s, _ = stage_records("sintel_unsup_labeled_train")
     assert len(s) == 2 * 2 * 2  # clean+final x 2 pairs x fwd+bwd
+
+
+def test_semi_fetch_dataloader_end_to_end(fake_root):
+    from flow_supervisor_tpu.config import TrainCfg
+    from flow_supervisor_tpu.data.pipeline import fetch_dataloader
+
+    cfg = TrainCfg(
+        stage="semi-sintel_unsup_test-things_unsup",
+        batch_size=1,
+        image_size=(32, 48),
+        unsup_image_size=(32, 48),
+        full_size=(40, 56),
+        seed=7,
+    )
+    it = fetch_dataloader(cfg)
+    sup_b, unsup_b = next(it)
+    assert sup_b["image1"].shape == (1, 32, 48, 3)
+    assert sup_b["orig_image1"].shape == (1, 40, 56, 3)
+    assert sup_b["flow"].shape == (1, 32, 48, 2)
+    assert unsup_b["crop_yx"].shape == (1, 2)
+    assert (unsup_b["crop_yx"] % 8 == 0).all()
+    # unlabeled stream: dummy zero flow/valid
+    assert (unsup_b["valid"] == 0).all()
