@@ -23,7 +23,22 @@ import numpy as np
 TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
 
 
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise BenchTimeout()
+
+
 def main():
+    import signal
+
+    # watchdog: the TPU relay occasionally wedges on a stale session; emit a
+    # diagnostic JSON line instead of hanging the driver forever
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(540)
+
     import jax
     import jax.numpy as jnp
 
@@ -64,6 +79,9 @@ def main():
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
+    import signal
+
+    signal.alarm(0)
     pairs_per_sec = n / dt
     print(
         json.dumps(
@@ -78,4 +96,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BenchTimeout:
+        print(
+            json.dumps(
+                {
+                    "metric": "flow_pairs_per_sec_per_chip_448x1024_12iters",
+                    "value": 0.0,
+                    "unit": "pairs/sec",
+                    "vs_baseline": 0.0,
+                    "error": "timeout: TPU execution relay unresponsive; retry",
+                }
+            )
+        )
