@@ -142,6 +142,54 @@ class UnsupPipeline:
                     batch = []
 
 
+class MultiFramePipeline:
+    """Frame-triplet stream (reference MultiFrameDataset + MultiFrameAugmentor,
+    data/flow_dataset.py:208-254): emits {'image1..3', 'flow1/2', 'valid1/2',
+    'orig_image1..3', 'crop_yx'} batches from records with 3 frame paths and a
+    (flow_i, flow_i+1) pair."""
+
+    def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
+                 batch_size, seed=1234):
+        assert records, "empty dataset"
+        from flow_supervisor_tpu.data.augment import MultiFrameAugmentor
+
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.aug = MultiFrameAugmentor(crop_size, min_scale, max_scale, do_flip)
+
+    def _example(self, record) -> dict:
+        imgs = [read_image(p) for p in record.images]
+        assert len(imgs) == 3, "multiframe records need 3 frames"
+        h, w = imgs[0].shape[:2]
+        if record.flow is not None:
+            flow1, valid1 = read_flow_any(record.flow)
+            flow1 = flow1.astype(np.float32)
+            valid1 = (
+                np.ones(flow1.shape[:2] + (1,), np.float32)
+                if valid1 is None
+                else valid1.reshape(valid1.shape[:2] + (1,)).astype(np.float32)
+            )
+        else:
+            flow1 = np.zeros((h, w, 2), np.float32)
+            valid1 = np.zeros((h, w, 1), np.float32)
+        # second flow (i+1 -> i+2) is only present for labeled triplets with a
+        # second path in extra; otherwise dummy like the reference's "" paths
+        flow2 = np.zeros((h, w, 2), np.float32)
+        valid2 = np.zeros((h, w, 1), np.float32)
+        return self.aug(*imgs, flow1, valid1, flow2, valid2, self.rng)
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = self.rng.permutation(len(self.records))
+            batch = []
+            for idx in order:
+                batch.append(self._example(self.records[idx]))
+                if len(batch) == self.batch_size:
+                    yield _stack(batch)
+                    batch = []
+
+
 def semi_zip(unsup_iter, sup_iter) -> Iterator[tuple[dict, dict]]:
     """Zip the two infinite streams (make_semi_dataset semantics)."""
     for unsup_batch, sup_batch in zip(unsup_iter, sup_iter):

@@ -144,3 +144,18 @@ def test_semi_fetch_dataloader_end_to_end(fake_root):
     assert (unsup_b["crop_yx"] % 8 == 0).all()
     # unlabeled stream: dummy zero flow/valid
     assert (unsup_b["valid"] == 0).all()
+
+
+def test_multiframe_pipeline(fake_root):
+    from flow_supervisor_tpu.data.datasets import sintel_multiframe
+    from flow_supervisor_tpu.data.pipeline import MultiFramePipeline
+
+    recs = sintel_multiframe(training=True, dstype="clean")
+    assert recs and len(recs[0].images) == 3
+    pipe = MultiFramePipeline(recs, (32, 48), min_scale=-0.2, max_scale=0.5,
+                              do_flip=True, batch_size=1)
+    b = next(iter(pipe))
+    assert b["image1"].shape == (1, 32, 48, 3)
+    assert b["image3"].shape == (1, 32, 48, 3)
+    assert b["flow1"].shape == (1, 32, 48, 2)
+    assert b["valid2"].shape == (1, 32, 48, 1)
