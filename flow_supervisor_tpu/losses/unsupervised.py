@@ -131,12 +131,12 @@ def unsupervised_loss(
             losses["census"] += weights["census"] * cen / num_pairs
 
         if "smooth1" in weights or "smooth2" in weights:
+            from flow_supervisor_tpu.ops.coords import resize_image
+
             img_s = images[:, ti]
             for _ in range(smoothness_at_level):
                 nh, nw = img_s.shape[1] // 2, img_s.shape[2] // 2
-                img_s = jax.image.resize(
-                    img_s, (img_s.shape[0], nh, nw, img_s.shape[3]), "linear"
-                )
+                img_s = resize_image(img_s, (nh, nw))
             flow_s = flows[key][smoothness_at_level]
             if "smooth1" in weights:
                 l1s = first_order_smoothness_loss(img_s, flow_s, edge_fn)

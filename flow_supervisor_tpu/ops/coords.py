@@ -36,11 +36,31 @@ def initialize_coords(batch: int, ht: int, wd: int, dtype=jnp.float32):
     return c, c
 
 
+def _resample_axis(im: jax.Array, axis: int, out_size: int) -> jax.Array:
+    """TF-style half-pixel bilinear sampling along one axis with edge clamping
+    and NO antialiasing (tf.image.resize(method='bilinear', antialias=False);
+    jax.image.resize antialiases on downscale, which the reference does not)."""
+    in_size = im.shape[axis]
+    scale = in_size / out_size
+    pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos), 0, in_size - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = jnp.clip(pos - lo.astype(jnp.float32), 0.0, 1.0)
+    a = jnp.take(im, lo, axis=axis)
+    b = jnp.take(im, hi, axis=axis)
+    shape = [1] * im.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    return a.astype(jnp.float32) * (1.0 - w) + b.astype(jnp.float32) * w
+
+
 def resize_image(im: jax.Array, size: tuple[int, int], method: str = "bilinear") -> jax.Array:
-    """Resize NHWC image to (H, W) with TF-style half-pixel bilinear resize."""
+    """Resize NHWC to (H, W) with TF-exact half-pixel bilinear (no antialias)."""
     if im.shape[1] == size[0] and im.shape[2] == size[1]:
         return im
-    return jax.image.resize(im, (im.shape[0], size[0], size[1], im.shape[3]), method=method)
+    out = _resample_axis(im, 1, size[0])
+    out = _resample_axis(out, 2, size[1])
+    return out.astype(im.dtype)
 
 
 def resize_flow(flow: jax.Array, size: tuple[int, int], scaling: bool = True) -> jax.Array:
