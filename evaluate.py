@@ -24,9 +24,20 @@ def main():
                    choices=["sintel", "chairs", "kitti", "kitti2012"])
     p.add_argument("--eval_iters", type=int, default=None)
     p.add_argument("--warm_start", action="store_true")
-    p.add_argument("--use_teacher", action="store_true",
-                   help="also score the teacher head (semi checkpoints)")
+    p.add_argument("--use_teacher", action="store_true", default=None,
+                   help="force scoring the teacher head; by default teacher-"
+                        "bearing (semi) checkpoints score student AND teacher "
+                        "automatically (reference util/validate.py:154-166)")
+    p.add_argument("--pad_bucket", type=int, default=8,
+                   help="round padded eval shapes up to this multiple; 8 = "
+                        "exact reference padding, larger values bound the jit "
+                        "cache on variable-size datasets (KITTI)")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--tf_ckpt", default=None,
+                   help="evaluate a reference TF checkpoint prefix directly "
+                        "(e.g. ckpts/semi/sintel/ckpt-100000-weights); "
+                        "ckpt_dir then only provides the config (or pass a "
+                        "dot '.' to use defaults)")
     p.add_argument("--precision", default="float32",
                    choices=["float32", "bfloat16"],
                    help="eval compute dtype (fp32 default for parity; the "
@@ -40,20 +51,49 @@ def main():
     from flow_supervisor_tpu.training import checkpoint as ckpt
     from flow_supervisor_tpu.training.loop import build_model, init_variables
 
-    cfg = ExperimentConfig.load_yaml(args.ckpt_dir)
-    cfg.ckpt_dir = args.ckpt_dir
+    import os
+
+    if os.path.isdir(args.ckpt_dir) and os.path.exists(
+        os.path.join(args.ckpt_dir, "args.yaml")
+    ):
+        cfg = ExperimentConfig.load_yaml(args.ckpt_dir)
+        cfg.ckpt_dir = args.ckpt_dir
+    else:
+        assert args.tf_ckpt, f"no config in {args.ckpt_dir} and no --tf_ckpt"
+        cfg = ExperimentConfig()
     cfg.model.compute_dtype = args.precision
-    model = build_model(cfg)
-    variables = init_variables(model, cfg)
-    restored = ckpt.restore_checkpoint(args.ckpt_dir, step=args.step)
-    assert restored is not None, f"no checkpoint in {args.ckpt_dir}"
-    variables = {
-        "params": restored["params"],
-        "batch_stats": restored.get("batch_stats", variables.get("batch_stats", {})),
-    }
+
+    if args.tf_ckpt:
+        # reference TF checkpoint: the ≤0.05-EPE parity check is
+        #   python evaluate.py . --tf_ckpt <prefix> --dataset sintel --eval_iters 12
+        from flow_supervisor_tpu.convert import load_tf_checkpoint
+
+        params, batch_stats = load_tf_checkpoint(args.tf_ckpt)
+        cfg.model.model_type = (
+            "raft-semi" if "teacher_update_block" in params else "raft-baseline"
+        )
+        model = build_model(cfg)
+        init = init_variables(model, cfg)
+        bs = init.get("batch_stats", {})
+        for k, v in batch_stats.items():
+            if k in bs:
+                bs = {**bs, k: v}
+        variables = {"params": params, "batch_stats": bs}
+    else:
+        model = build_model(cfg)
+        variables = init_variables(model, cfg)
+        restored = ckpt.restore_checkpoint(args.ckpt_dir, step=args.step)
+        assert restored is not None, f"no checkpoint in {args.ckpt_dir}"
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get(
+                "batch_stats", variables.get("batch_stats", {})
+            ),
+        }
 
     iters = args.eval_iters or (32 if args.dataset == "sintel" else 24)
-    ev = Evaluator(model, variables, iters=iters, use_teacher=args.use_teacher)
+    ev = Evaluator(model, variables, iters=iters, use_teacher=args.use_teacher,
+                   pad_bucket=args.pad_bucket)
 
     results = {}
     if args.dataset == "sintel":

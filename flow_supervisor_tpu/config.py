@@ -39,13 +39,14 @@ class ModelCfg:
     sup_label_loss_weight: float = 1.0
     teacher_smurf_weight: float = 0.0
     lfl_loss_decay_rate: float = 0.8
-    lfr_loss_type: str = "robust"
+    lfr_loss_type: str = "l2"  # reference default (semi.py:549); recipes use robust
     stop_teacher_gradient: bool = True
-    # unsupervised loss weights (reference unsup.py:259-274)
+    # unsupervised loss weights; defaults match the reference argparse
+    # (unsup.py:268-274: smooth1 2.5, smooth2 0.0, selfsup 0.3, wang)
     census_weight: float = 1.0
-    smooth1_weight: float = 0.0
-    smooth2_weight: float = 2.0
-    selfsup_weight: float = 0.0
+    smooth1_weight: float = 2.5
+    smooth2_weight: float = 0.0
+    selfsup_weight: float = 0.3
     occlusion: str = "wang"  # wang | brox | none
     unsup_loss_decay_rate: float = 0.8
     teacher_smurf_loss: bool = False
@@ -74,10 +75,16 @@ class TrainCfg:
     clip_norm: float = 1.0
     num_steps: int = 100000
     val_step: int = 5000
+    val_max_records: int = 0  # cap records per standing-validation set (0 = all)
+    skip_validation_at_start: bool = False  # reference train.py:38
     freeze_bn: bool = False
     loss_type: str = "robust"
     loss_decay_rate: float = 0.8
     seed: int = 1234
+    # flow-aware rotation augmentation (reference augmentor.py:54-55,116-117;
+    # uflow random_rotation semantics, off by default there too)
+    do_rotation: bool = False
+    max_rotation: float = 10.0
     pretrained_ckpt: str = ""
     data_parallel: int = -1  # -1 = all local devices
     log_every: int = 100

@@ -125,10 +125,16 @@ class FlowAugmentor:
         max_scale=0.5,
         do_flip=True,
         eraser_aug_prob=0.5,
+        do_rotation=False,
+        max_rotation=10.0,
     ):
         self.crop_size = tuple(crop_size)
         self.min_scale = min_scale
         self.max_scale = max_scale
+        # flow-aware rotation (reference augmentor.py:54-55,116-117; off by
+        # default there too, enabled via --do_rotation)
+        self.do_rotation = do_rotation
+        self.max_rotation = max_rotation
         self.spatial_aug_prob = 0.8
         self.stretch_prob = 0.8
         self.max_stretch = 0.2
@@ -160,6 +166,11 @@ class FlowAugmentor:
         return max(sx, min_scale), max(sy, min_scale), min_scale
 
     def spatial_transform(self, img1, img2, flow, rng):
+        if self.do_rotation:
+            (img1, img2), flow, _ = random_rotation(
+                [img1, img2], flow, np.ones_like(flow[..., :1]),
+                self.max_rotation, rng,
+            )
         ht, wd = img1.shape[:2]
         sx, sy, min_scale = self._sample_scales(rng, ht, wd)
         if rng.uniform() < self.spatial_aug_prob:
@@ -206,8 +217,9 @@ class SparseFlowAugmentor(FlowAugmentor):
     sparse = True
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5, do_flip=False,
-                 eraser_aug_prob=0.5):
-        super().__init__(crop_size, min_scale, max_scale, do_flip, eraser_aug_prob)
+                 eraser_aug_prob=0.5, do_rotation=False, max_rotation=10.0):
+        super().__init__(crop_size, min_scale, max_scale, do_flip,
+                         eraser_aug_prob, do_rotation, max_rotation)
         self.photo_aug = ColorJitter(0.3, 0.3, 0.3, 0.3 / 3.14)
 
     def color_transform(self, img1, img2, rng):
@@ -216,6 +228,10 @@ class SparseFlowAugmentor(FlowAugmentor):
         return np.clip(img1, 0.0, 1.0), np.clip(img2, 0.0, 1.0)
 
     def spatial_transform(self, img1, img2, flow, valid, rng):
+        if self.do_rotation:
+            (img1, img2), flow, valid = random_rotation(
+                [img1, img2], flow, valid, self.max_rotation, rng
+            )
         ht, wd = img1.shape[:2]
         sx, sy, _ = self._sample_scales(rng, ht, wd)
         if rng.uniform() < self.spatial_aug_prob:
@@ -365,8 +381,10 @@ class UnsupAugmentor(SparseFlowAugmentor):
     """Full-size frame + 8-aligned crop augmentor for unsup/semi training."""
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5, do_flip=True,
-                 eraser_aug_prob=0.5, full_size=None):
-        super().__init__(crop_size, min_scale, max_scale, do_flip, eraser_aug_prob)
+                 eraser_aug_prob=0.5, full_size=None, do_rotation=False,
+                 max_rotation=10.0):
+        super().__init__(crop_size, min_scale, max_scale, do_flip,
+                         eraser_aug_prob, do_rotation, max_rotation)
         self.full_size = tuple(full_size) if full_size is not None else None
         self.asymmetric_color_aug_prob = 0.2
         self.photo_aug = ColorJitter(0.3, 0.3, 0.3, 0.3 / 3.14)
@@ -387,6 +405,10 @@ class UnsupAugmentor(SparseFlowAugmentor):
         return (min(inst[0], self.full_size[0]), min(inst[1], self.full_size[1]))
 
     def spatial_transform(self, img1, img2, flow, valid, rng):
+        if self.do_rotation:
+            (img1, img2), flow, valid = random_rotation(
+                [img1, img2], flow, valid, self.max_rotation, rng
+            )
         ht, wd = img1.shape[:2]
         if self.full_size is not None and (ht < self.full_size[0] or wd < self.full_size[1]):
             # static-shape guarantee: upscale sources smaller than full_size

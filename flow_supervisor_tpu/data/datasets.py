@@ -126,13 +126,19 @@ def sintel_unsup_part(part: int = 1, dstype: str = "final") -> list[FlowRecord]:
 
 
 def sintel_multiframe(training: bool = True, dstype: str = "final"):
+    """Frame triplets; labeled triplets carry both flows (i->i+1 as ``flow``,
+    i+1->i+2 as ``extra[2]`` — reference SintelMultiFrame keeps a 2-element
+    flow path list, data/sintel.py:60-65)."""
     out = []
     for scene, images, flows in _sintel_scenes(training, dstype):
         for i in range(len(images) - 2):
             flow = flows[i] if flows else None
+            flow2 = flows[i + 1] if flows else None
             out.append(
                 FlowRecord(
-                    (images[i], images[i + 1], images[i + 2]), flow, extra=(scene, i)
+                    (images[i], images[i + 1], images[i + 2]),
+                    flow,
+                    extra=(scene, i, flow2),
                 )
             )
     return out
@@ -172,51 +178,43 @@ KITTI_MV_SIZE = (375, 1242)
 
 
 def kitti_multiview(training: bool = False, interval: int = 1) -> list[FlowRecord]:
-    """Multiview sequences; pairs (i-1, i) — or (i-2, i) for interval=2 — with
-    sequence-boundary filtering (reference data/kitti.py:109-194)."""
+    """Multiview sequences from image_2 + image_3: all (i, i+interval) frame
+    pairs that stay inside one (camera, sequence) run.
+
+    Intent parity, not construction parity, with the reference
+    (data/kitti.py:109-194): the reference enumerates ``images[1:]`` /
+    ``images[2:]`` but appends ``images[i-1], images[i]``, which pairs the
+    LAST image of the dataset with the first, emits one cross-sequence pair
+    after every boundary, and drops each sequence's true last pair. We emit
+    the catalog that loop clearly intends — consecutive same-run pairs only —
+    keying runs by (camera dir, sequence id) so image_2/image_3 never mix.
+    """
     split = "training" if training else "testing"
     root = os.path.join(paths.KITTI, "data_scene_flow_multiview", split)
     images = sorted(
         glob(os.path.join(root, "image_2/*.png"))
         + glob(os.path.join(root, "image_3/*.png"))
     )
+
+    def run_id(p):
+        return (
+            os.path.basename(os.path.dirname(p)),
+            os.path.basename(p).split("_")[0],
+        )
+
     out = []
-    if not images:
-        return out
-
-    def seq_id(p):
-        return os.path.basename(p).split("_")[0]
-
-    if interval == 1:
-        prev = images[0]
-        for i, img in enumerate(images[1:]):
-            if seq_id(img) != seq_id(prev):
-                prev = img
-                continue
-            out.append(
-                FlowRecord(
-                    (images[i - 1], images[i]),
-                    sparse=True,
-                    extra=(os.path.basename(prev),),
-                    canonical_size=KITTI_MV_SIZE,
-                )
+    for i in range(len(images) - interval):
+        a, b = images[i], images[i + interval]
+        if run_id(a) != run_id(b):
+            continue
+        out.append(
+            FlowRecord(
+                (a, b),
+                sparse=True,
+                extra=(os.path.basename(a),),
+                canonical_size=KITTI_MV_SIZE,
             )
-            prev = img
-    else:
-        prev = images[0]
-        for i, img in enumerate(images[2:]):
-            if seq_id(img) != seq_id(prev) or seq_id(img) != seq_id(images[i - 1]):
-                prev = img
-                continue
-            out.append(
-                FlowRecord(
-                    (images[i - 2], images[i]),
-                    sparse=True,
-                    extra=(os.path.basename(prev),),
-                    canonical_size=KITTI_MV_SIZE,
-                )
-            )
-            prev = img
+        )
     return out
 
 

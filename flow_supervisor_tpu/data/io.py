@@ -21,7 +21,21 @@ import numpy as np
 TAG_FLO = np.float32(202021.25)
 
 
+def _native():
+    """The threaded C decoders (native/fst_io.cc) when built and not disabled
+    via FST_NATIVE_IO=0; None otherwise. The numpy readers below stay as the
+    fallback and as the correctness oracle (tests/test_native_io.py)."""
+    if os.environ.get("FST_NATIVE_IO", "1") == "0":
+        return None
+    from flow_supervisor_tpu.data import native
+
+    return native if native.available() else None
+
+
 def read_flo(path: str) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        return nat.read_flo(path)
     with open(path, "rb") as f:
         magic = np.fromfile(f, np.float32, count=1)
         if magic.size == 0 or magic[0] != TAG_FLO:
@@ -43,6 +57,9 @@ def write_flo(path: str, flow: np.ndarray) -> None:
 
 
 def read_pfm(path: str) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        return nat.read_pfm(path)
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -82,6 +99,10 @@ def write_flow_kitti(path: str, flow: np.ndarray) -> None:
 
 def read_image(path: str) -> np.ndarray:
     """RGB float32 in [0, 1], 3 channels (grayscale broadcast)."""
+    if path.lower().endswith(".ppm"):
+        nat = _native()
+        if nat is not None:
+            return nat.read_ppm(path)
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)

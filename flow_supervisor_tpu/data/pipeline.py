@@ -76,14 +76,21 @@ class SupervisedPipeline:
     """Labeled stream -> {'image1','image2','flow','valid'} batches."""
 
     def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
-                 batch_size, seed=1234, augment=True):
+                 batch_size, seed=1234, augment=True, do_rotation=False,
+                 max_rotation=10.0):
         assert records, "empty dataset"
         self.records = list(records)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.augment = augment
-        self.dense_aug = FlowAugmentor(crop_size, min_scale, max_scale, do_flip)
-        self.sparse_aug = SparseFlowAugmentor(crop_size, min_scale, max_scale, do_flip)
+        self.dense_aug = FlowAugmentor(
+            crop_size, min_scale, max_scale, do_flip,
+            do_rotation=do_rotation, max_rotation=max_rotation,
+        )
+        self.sparse_aug = SparseFlowAugmentor(
+            crop_size, min_scale, max_scale, do_flip,
+            do_rotation=do_rotation, max_rotation=max_rotation,
+        )
 
     def _example(self, record) -> dict:
         img1, img2, flow, valid = load_record(record)
@@ -118,13 +125,15 @@ class UnsupPipeline:
     """Unlabeled stream -> UnsupAugmentor dict batches (full frame + crop)."""
 
     def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
-                 batch_size, full_size, seed=1234):
+                 batch_size, full_size, seed=1234, do_rotation=False,
+                 max_rotation=10.0):
         assert records, "empty dataset"
         self.records = list(records)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.aug = UnsupAugmentor(
-            crop_size, min_scale, max_scale, do_flip, full_size=full_size
+            crop_size, min_scale, max_scale, do_flip, full_size=full_size,
+            do_rotation=do_rotation, max_rotation=max_rotation,
         )
 
     def _example(self, record) -> dict:
@@ -173,10 +182,19 @@ class MultiFramePipeline:
         else:
             flow1 = np.zeros((h, w, 2), np.float32)
             valid1 = np.zeros((h, w, 1), np.float32)
-        # second flow (i+1 -> i+2) is only present for labeled triplets with a
-        # second path in extra; otherwise dummy like the reference's "" paths
+        # second flow (i+1 -> i+2) rides in extra[2] for labeled triplets
+        # (reference SintelMultiFrame flow path pairs, data/sintel.py:60-65);
+        # dummy zeros otherwise (the reference's "" paths)
         flow2 = np.zeros((h, w, 2), np.float32)
         valid2 = np.zeros((h, w, 1), np.float32)
+        if len(record.extra) > 2 and record.extra[2]:
+            flow2, v2 = read_flow_any(record.extra[2])
+            flow2 = flow2.astype(np.float32)
+            valid2 = (
+                np.ones(flow2.shape[:2] + (1,), np.float32)
+                if v2 is None
+                else v2.reshape(v2.shape[:2] + (1,)).astype(np.float32)
+            )
         return self.aug(*imgs, flow1, valid1, flow2, valid2, self.rng)
 
     def __iter__(self) -> Iterator[dict]:
@@ -288,6 +306,20 @@ def stage_records(stage: str):
             recs.extend(base)
             recs.extend(D.backward(base))
         return recs, dict(min_scale=-0.5, max_scale=0.6, do_flip=True)
+    if stage in ("sintel_unsup_part1", "sintel_unsup_part2"):
+        part = 1 if stage.endswith("1") else 2
+        recs = []
+        for dstype in ("final", "clean"):
+            base = D.sintel_unsup_part(part, dstype)
+            recs.extend(base)
+            recs.extend(D.backward(base))
+        # reference SintelUnsupPart params (data/sintel.py:130-137)
+        return recs, dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
+    if stage == "sintel_multiframe":
+        # frame triplets; consumed by MultiFramePipeline (fetch_dataloader)
+        recs = D.sintel_multiframe(True, "final") + D.sintel_multiframe(True, "clean")
+        # reference SintelMultiFrame params (data/sintel.py:68-75)
+        return recs, dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
     if stage == "hd1k":
         return D.hd1k(), dict(min_scale=-0.1, max_scale=1.0, do_flip=True)
     if stage == "chairs_unsup":
@@ -331,6 +363,20 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
     """
     seed = train_cfg.seed if seed is None else seed
     stage = train_cfg.stage
+    rot = dict(
+        do_rotation=getattr(train_cfg, "do_rotation", False),
+        max_rotation=getattr(train_cfg, "max_rotation", 10.0),
+    )
+    if stage == "sintel_multiframe":
+        records, aug = stage_records(stage)
+        pipe = MultiFramePipeline(
+            records,
+            train_cfg.image_size,
+            batch_size=train_cfg.batch_size,
+            seed=seed,
+            **aug,
+        )
+        return Prefetcher(iter(pipe))
     if stage.startswith("semi-"):
         _, unsup_stage, sup_stage = stage.split("-", 2)
         unsup_recs, unsup_aug = stage_records(unsup_stage)
@@ -342,6 +388,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             full_size=train_cfg.full_size,
             seed=seed,
             **sup_aug,
+            **rot,
         )
         unsup = UnsupPipeline(
             unsup_recs,
@@ -350,6 +397,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             full_size=train_cfg.full_size,
             seed=seed + 1,
             **unsup_aug,
+            **rot,
         )
         return Prefetcher(semi_zip(iter(unsup), iter(sup)))
     records, aug = stage_records(stage)
@@ -359,5 +407,6 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
         batch_size=train_cfg.batch_size,
         seed=seed,
         **aug,
+        **rot,
     )
     return Prefetcher(iter(pipe))

@@ -9,17 +9,22 @@ Parity with the reference (``util/validate.py:134-292``):
   evaluate.py:166-174); the FINAL prediction is unpadded and scored;
 - dense: per-image mean EPE + 1/3/5-px accuracies; sparse: masked EPE, n-px,
   and Fl-all over valid pixels;
-- teacher evaluation: when the model carries a teacher head, its predictions are
-  scored as a second 'teacher' entry (validate.py:154-166);
+- teacher evaluation: checkpoints that carry a teacher head score BOTH the
+  student and the teacher automatically — the reference disambiguates by
+  prediction-list arity (validate.py:154-166), we detect ``model.cfg.teacher``;
 - warm start: within a scene, the previous pair's final low-res flow is
   forward-splatted on host (scipy) and fed as flow_init (validate.py:141-148).
 
-One jit cache entry per padded shape; Sintel/KITTI eval shapes are constant so
-this compiles once per dataset.
+One jit cache entry per padded shape. Sintel eval shapes are constant; KITTI
+images come in a handful of native sizes — ``pad_bucket`` rounds the padded
+shape up to a larger multiple to bound the cache (8 = exact reference padding;
+64 trades slightly different edge context for ~1 compile per dataset).
+Also reports eval throughput as ``pairs_per_sec``.
 """
 from __future__ import annotations
 
 import functools
+import time
 from typing import Iterable, Optional
 
 import numpy as np
@@ -44,14 +49,30 @@ def _unpad(x, spec):
 
 
 class Evaluator:
-    def __init__(self, model, variables, iters: int = 24, use_teacher: bool = False):
+    """Runs a model over record lists. ``variables`` may be fixed at
+    construction or swapped per call (training-time validation) — the jitted
+    forwards take them as arguments so the jit cache survives the swap."""
+
+    def __init__(
+        self,
+        model,
+        variables=None,
+        iters: int = 24,
+        use_teacher: Optional[bool] = None,
+        pad_bucket: int = 8,
+    ):
         self.model = model
         self.variables = variables
         self.iters = iters
-        self.use_teacher = use_teacher
+        self.use_teacher = (
+            bool(getattr(model.cfg, "teacher", False))
+            if use_teacher is None
+            else use_teacher
+        )
+        self.pad_bucket = pad_bucket
 
         @functools.partial(jax.jit, static_argnames=("with_init",))
-        def forward(image1, image2, flow_init, with_init):
+        def forward(variables, image1, image2, flow_init, with_init):
             out = model.apply(
                 variables,
                 image1,
@@ -64,10 +85,10 @@ class Evaluator:
 
         self._forward = forward
 
-        if use_teacher:
+        if self.use_teacher:
 
-            @jax.jit
-            def teacher_forward(image1, image2):
+            @functools.partial(jax.jit, static_argnames=("with_init",))
+            def teacher_forward(variables, image1, image2, flow_init, with_init):
                 b, h, w, _ = image1.shape
                 from flow_supervisor_tpu.ops.coords import coords_grid, downsample_shape
 
@@ -75,14 +96,16 @@ class Evaluator:
                     f1, f2 = mdl.features(image1, image2)
                     pyr = mdl.build_corr(f1, f2)
                     net, inp = mdl.context(image1)
+                    att = mdl.attention_map(inp)
                     h8, w8 = downsample_shape(h), downsample_shape(w)
                     c0 = coords_grid(b, h8, w8)
+                    c1 = c0 + flow_init if with_init else c0
                     net, _, stu_up, stu_low = mdl.iterate(
-                        net, inp, pyr, c0, c0, (h, w), self.iters
+                        net, inp, pyr, c0, c1, (h, w), self.iters, attention=att
                     )
                     _, _, tea_up, _ = mdl.iterate(
                         net, inp, pyr, c0, c0 + stu_low[-1], (h, w),
-                        mdl.cfg.teacher_iters, teacher=True,
+                        mdl.cfg.teacher_iters, teacher=True, attention=att,
                     )
                     return stu_up[-1], tea_up[-1], stu_low[-1]
 
@@ -90,24 +113,30 @@ class Evaluator:
 
             self._teacher_forward = teacher_forward
 
-    def _run_pair(self, img1, img2, mode: str, flow_init: Optional[np.ndarray]):
-        spec = pad_spec_for(img1.shape[0], img1.shape[1], mode=mode)
+    def _run_pair(self, variables, img1, img2, mode: str, flow_init):
+        spec = pad_spec_for(
+            img1.shape[0], img1.shape[1], mode=mode, multiple=self.pad_bucket
+        )
         x1 = _pad_np(img1[None], spec)
         x2 = _pad_np(img2[None], spec)
+        h8 = (x1.shape[1] + 7) // 8
+        w8 = (x1.shape[2] + 7) // 8
+        init = (
+            jnp.asarray(flow_init[None])
+            if flow_init is not None
+            else jnp.zeros((1, h8, w8, 2), jnp.float32)
+        )
         results = {}
         if self.use_teacher:
-            stu, tea, low = self._teacher_forward(jnp.asarray(x1), jnp.asarray(x2))
+            stu, tea, low = self._teacher_forward(
+                variables, jnp.asarray(x1), jnp.asarray(x2), init,
+                flow_init is not None,
+            )
             results["teacher"] = _unpad(np.asarray(tea), spec)
         else:
-            h8 = (x1.shape[1] + 7) // 8
-            w8 = (x1.shape[2] + 7) // 8
-            init = (
-                jnp.asarray(flow_init[None])
-                if flow_init is not None
-                else jnp.zeros((1, h8, w8, 2), jnp.float32)
-            )
             stu, low = self._forward(
-                jnp.asarray(x1), jnp.asarray(x2), init, flow_init is not None
+                variables, jnp.asarray(x1), jnp.asarray(x2), init,
+                flow_init is not None,
             )
         results["student"] = _unpad(np.asarray(stu), spec)
         return results, np.asarray(low)[0]
@@ -117,10 +146,15 @@ class Evaluator:
         records: Iterable[FlowRecord],
         sparse: bool = False,
         warm_start: bool = False,
+        variables=None,
     ) -> dict[str, float]:
+        variables = self.variables if variables is None else variables
+        assert variables is not None, "Evaluator needs variables"
         lists: dict[str, list[float]] = {}
         prev_scene = None
         prev_low = None
+        n_pairs = 0
+        t0 = time.perf_counter()
         for rec in records:
             img1, img2, flow_gt, valid = load_record(rec)
             scene = rec.extra[0] if rec.extra else None
@@ -130,7 +164,8 @@ class Evaluator:
             prev_scene = scene
 
             mode = "kitti" if sparse else "sintel"
-            results, prev_low = self._run_pair(img1, img2, mode, flow_init)
+            results, prev_low = self._run_pair(variables, img1, img2, mode, flow_init)
+            n_pairs += 1
 
             for name, pred in results.items():
                 gt = jnp.asarray(flow_gt[None])
@@ -142,4 +177,60 @@ class Evaluator:
                     m = dense_metrics(jnp.asarray(pred), gt)
                 for k, v in m.items():
                     lists.setdefault(f"{name}_{k}", []).append(float(v[0]))
-        return {k: float(np.mean(v)) for k, v in lists.items()}
+        out = {k: float(np.mean(v)) for k, v in lists.items()}
+        if n_pairs:
+            out["pairs_per_sec"] = n_pairs / max(time.perf_counter() - t0, 1e-9)
+        return out
+
+
+def standing_validation_sets(stage: str, max_records: int = 0):
+    """(name, records, sparse) validation sets for training-time callbacks.
+
+    Mirrors the reference's standing callbacks (train.py:211-217 always attaches
+    ValidateOnSintel + ValidateOnKITTI; ValidateOnChairs exists for the chairs
+    stage, util/validate.py:17-132). Missing dataset roots are skipped silently
+    so training runs on partial data installs.
+    """
+    from flow_supervisor_tpu.data import datasets as D
+
+    candidates = []
+    if stage.startswith("chairs"):
+        candidates.append(("chairs", lambda: D.flying_chairs(training=False), False))
+    candidates.append(("sintel_clean", lambda: D.sintel(True, "clean"), False))
+    candidates.append(("sintel_final", lambda: D.sintel(True, "final"), False))
+    candidates.append(("kitti", lambda: D.kitti(training=True), True))
+
+    sets = []
+    for name, build, sparse in candidates:
+        try:
+            recs = build()
+        except (OSError, FileNotFoundError):
+            continue
+        if not recs:
+            continue
+        if max_records:
+            recs = recs[:max_records]
+        sets.append((name, recs, sparse))
+    return sets
+
+
+def make_train_validator(cfg, model):
+    """validate_fn(step, state) -> metrics dict for the training loop, or None
+    when no validation dataset is available (reference train.py:211-217)."""
+    sets = standing_validation_sets(cfg.train.stage, cfg.train.val_max_records)
+    if not sets:
+        return None
+    ev = Evaluator(model, None, iters=cfg.model.iters)
+
+    def validate_fn(step: int, state) -> dict[str, float]:
+        variables = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        out = {}
+        for name, recs, sparse in sets:
+            r = ev.evaluate(recs, sparse=sparse, variables=variables)
+            out.update({f"{name}_{k}": v for k, v in r.items()})
+        return out
+
+    return validate_fn

@@ -64,6 +64,10 @@ class RAFTConfig:
     position_and_content: bool = False
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for perf)
     corr_dtype: Any = jnp.float32  # correlation volume storage dtype
+    # correlation-lookup backend: "einsum" (XLA one-hot matmuls, ops/corr.py)
+    # or "pallas" (fused slice+roll window kernel, kernels/corr_lookup_v2.py —
+    # bit-exact vs einsum, faster on TPU; interpreted elsewhere)
+    lookup_backend: str = "einsum"
 
     @property
     def hidden_dim(self) -> int:
@@ -189,7 +193,18 @@ class RAFT(nn.Module):
             if stop_coord_gradient:
                 coords1 = jax.lax.stop_gradient(coords1)
             flow = coords1 - coords0
-            corr = corr_pyramid_lookup(corr_pyramid, coords1, mdl.cfg.corr_radius)
+            if mdl.cfg.lookup_backend == "pallas":
+                from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
+                    corr_pyramid_lookup_v2,
+                )
+
+                corr = corr_pyramid_lookup_v2(
+                    corr_pyramid, coords1, mdl.cfg.corr_radius
+                )
+            else:
+                corr = corr_pyramid_lookup(
+                    corr_pyramid, coords1, mdl.cfg.corr_radius
+                )
             block_args = (
                 net,
                 inp,
@@ -235,7 +250,23 @@ class RAFT(nn.Module):
     def build_corr(self, fmap1, fmap2):
         """Correlation pyramid via pooled feature maps (linear-pooling identity;
         see ops/corr.py build_corr_pyramid_from_fmaps). The backward direction
-        is build_corr(fmap2, fmap1) — no 5-D volume transpose."""
+        is build_corr(fmap2, fmap1) — no 5-D volume transpose.
+
+        With lookup_backend="pallas" the pyramid is stored as zero-padded
+        per-query planes (padded ONCE per forward) for the fused window kernel.
+        """
+        if self.cfg.lookup_backend == "pallas":
+            from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
+                build_padded_pyramid,
+            )
+
+            return build_padded_pyramid(
+                fmap1.astype(self.cfg.dtype),
+                fmap2.astype(self.cfg.dtype),
+                self.cfg.corr_levels,
+                self.cfg.corr_radius,
+                self.cfg.corr_dtype,
+            )
         from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
 
         return build_corr_pyramid_from_fmaps(
@@ -358,9 +389,7 @@ class RAFT(nn.Module):
         fmap1, fmap2 = self.features(image1, image2, train)
         corr_pyramid = self.build_corr(fmap1, fmap2)
         tf1, tf2 = self.features(orig_image1, orig_image2, train)
-        teacher_pyramid = [
-            jax.lax.stop_gradient(v) for v in self.build_corr(tf1, tf2)
-        ]
+        teacher_pyramid = jax.lax.stop_gradient(self.build_corr(tf1, tf2))
 
         crop_yx = crop_yx.astype(jnp.int32)
         crop_yx8 = crop_yx // 8
@@ -377,9 +406,7 @@ class RAFT(nn.Module):
         }
         if use_bw:
             bw_pyramid = self.build_corr(fmap2, fmap1)
-            t_bw_pyramid = [
-                jax.lax.stop_gradient(v) for v in self.build_corr(tf2, tf1)
-            ]
+            t_bw_pyramid = jax.lax.stop_gradient(self.build_corr(tf2, tf1))
             stu_bw, stu_low_bw, tea_bw, tea_bw_full = self._directional(
                 image2, bw_pyramid, t_bw_pyramid, orig_image2,
                 crop_yx8, crop_yx, train,

@@ -114,8 +114,11 @@ def train(
     validate_fn: Optional[Callable[[int, TrainState], dict]] = None,
 ):
     """Run training for cfg.train.num_steps (or max_steps), checkpointing and
-    validating every val_step steps. ``data_iter`` yields batches (for semi:
-    (sup_batch, unsup_batch) tuples)."""
+    validating every val_step steps (and once at start unless
+    cfg.train.skip_validation_at_start — reference train.py:38,211-217).
+    ``data_iter`` yields batches (for semi: (sup_batch, unsup_batch) tuples).
+    ``validate_fn`` overrides the standing Sintel/KITTI/Chairs validators built
+    from the stage (datasets whose roots are missing are skipped silently)."""
     model = build_model(cfg)
     variables = init_variables(model, cfg)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -168,11 +171,25 @@ def train(
             model, loss_type=cfg.train.loss_type, gamma=cfg.train.loss_decay_rate
         )
 
+    if validate_fn is None:
+        from flow_supervisor_tpu.evaluation import make_train_validator
+
+        validate_fn = make_train_validator(cfg, model)
+
+    def run_validation(at_step: int, st) -> None:
+        if validate_fn is None:
+            return
+        val = validate_fn(at_step, st)
+        logger.log(at_step, val, prefix="val")
+        print(f"val {at_step}: " + ", ".join(f"{k}={v:.4f}" for k, v in val.items()))
+
     total = cfg.train.num_steps if max_steps is None else max_steps
     last_log_time = time.time()
     steps_since_log = 0
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
+        if start_step == 0 and not cfg.train.skip_validation_at_start:
+            run_validation(0, state)
         for step_i in range(start_step, total):
             batch = next(data_iter)
             if is_semi:
@@ -201,10 +218,7 @@ def train(
                     cfg.ckpt_dir, step_i + 1, state.params, state.batch_stats,
                     state.opt_state,
                 )
-                if validate_fn is not None:
-                    val = validate_fn(step_i + 1, state)
-                    logger.log(step_i + 1, val, prefix="val")
-                    print(f"val {step_i+1}: " + ", ".join(f"{k}={v:.4f}" for k, v in val.items()))
+                run_validation(step_i + 1, state)
     logger.close()
     return state
 

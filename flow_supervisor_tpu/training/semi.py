@@ -50,13 +50,19 @@ def make_semi_train_step(
     assert model.cfg.freeze_bn, (
         "semi training requires freeze_bn=True in RAFTConfig (reference parity)"
     )
+    # selfsup is hardcoded 0.0 for the TEACHER smurf loss by the reference
+    # (semi.py:36-41 constructs UnsupervisedLoss(selfsup=0.0) regardless of
+    # --selfsup_weight; the flag only drives the unsupervised model's loss,
+    # unsup.py:18-25 — see training/unsup.py here). The per-update decay is
+    # exposed as mc.unsup_loss_decay_rate (reference hardcodes 0.8,
+    # unsup_loss.py:13; our default matches).
     unsup_cfg = UnsupLossConfig(
         census=mc.census_weight,
         smooth1=mc.smooth1_weight,
         smooth2=mc.smooth2_weight,
         selfsup=0.0,
         occlusion=mc.occlusion,
-        gamma=0.8,
+        gamma=mc.unsup_loss_decay_rate,
     )
 
     def apply_semi(params, batch_stats, batch, train=True):

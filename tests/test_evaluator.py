@@ -72,6 +72,64 @@ def test_teacher_eval(tmp_path):
         jax.random.PRNGKey(0), img, img, orig, orig,
         jnp.zeros((1, 2), jnp.int32), train=False, method="semi_forward",
     )
-    ev = Evaluator(model, variables, iters=1, use_teacher=True)
+    # teacher-bearing models score student AND teacher with NO flag
+    # (reference util/validate.py:154-166 arity dispatch)
+    ev = Evaluator(model, variables, iters=1)
+    assert ev.use_teacher
     res = ev.evaluate(_records(tmp_path, n=1), sparse=False)
     assert "teacher_epe" in res and "student_epe" in res
+    assert res["pairs_per_sec"] > 0
+
+
+def test_pad_bucket_bounds_shapes(tmp_path, model_and_vars):
+    # pad_bucket=64 maps multiple native sizes onto one padded shape
+    model, variables = model_and_vars
+    ev = Evaluator(model, variables, iters=1, pad_bucket=64)
+    recs = _records(tmp_path, n=1, h=61, w=93) + _records(
+        tmp_path, n=1, h=58, w=90, scene="b"
+    )
+    res = ev.evaluate(recs, sparse=False)
+    assert np.isfinite(res["student_epe"])
+
+
+def test_make_train_validator_runs(tmp_path, monkeypatch, model_and_vars):
+    # standing validation: sintel root exists -> validator runs and returns
+    # per-dataset metrics (reference train.py:211-217)
+    import importlib
+    import jax
+
+    from flow_supervisor_tpu.config import ExperimentConfig, TrainCfg
+    from flow_supervisor_tpu.data import paths
+
+    root = tmp_path / "datasets"
+    d = root / "Sintel/training/clean/alley_1"
+    d.mkdir(parents=True)
+    fd = root / "Sintel/training/flow/alley_1"
+    fd.mkdir(parents=True)
+    for i in range(3):
+        _write_img(str(d / f"frame_{i:04d}.png"), 48, 64, seed=i)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_flo(str(fd / f"frame_{i:04d}.flo"),
+                  rng.normal(0, 1, (48, 64, 2)).astype(np.float32))
+
+    monkeypatch.setenv("FST_DATA_ROOT", str(root))
+    importlib.reload(paths)
+    try:
+        from flow_supervisor_tpu.evaluation import make_train_validator
+
+        model, variables = model_and_vars
+        cfg = ExperimentConfig(train=TrainCfg(stage="sintel", val_max_records=1))
+        cfg.model.iters = 2
+        val_fn = make_train_validator(cfg, model)
+        assert val_fn is not None
+
+        class S:  # minimal TrainState stand-in
+            params = variables["params"]
+            batch_stats = variables["batch_stats"]
+
+        res = val_fn(0, S())
+        assert "sintel_clean_student_epe" in res
+        assert np.isfinite(res["sintel_clean_student_epe"])
+    finally:
+        importlib.reload(paths)
