@@ -99,8 +99,14 @@ def build_padded_pyramid(
     from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
 
     vols = build_corr_pyramid_from_fmaps(fmap1, fmap2, num_levels, out_dtype)
+    # Barrier: materialize each padded plane exactly once. Without it XLA is
+    # free to fuse the pad into every per-iteration consumer, recomputing the
+    # 100+ MB pad 12x per forward.
+    planes = jax.lax.optimization_barrier(
+        tuple(pad_plane(v, radius) for v in vols)
+    )
     return PaddedPyramid(
-        planes=[pad_plane(v, radius) for v in vols],
+        planes=list(planes),
         shapes=tuple(v.shape[3:5] for v in vols),
         radius=radius,
     )
@@ -119,6 +125,30 @@ def _window_kernel(idx_ref, plane_ref, out_ref, scratch_ref, *, tq, sup, wp, wp_
         out_ref[q, :, :] = patch[:sup, :16]
 
 
+def _window_kernel_mxu(
+    idx_ref, colidx_ref, plane_ref, out_ref, bands_ref, *, tq, sup, wp
+):
+    """MXU variant: per-query aligned 24-row bands are gathered into one
+    scratch, then a SINGLE block-diagonal one-hot matmul selects every query's
+    16 window columns at once — [tq*24, Wp] @ [Wp, tq*16] on the MXU replaces
+    tq per-query lane rotations on the VPU. Row alignment (offy) is fixed by a
+    cheap [24, 16] dynamic rotate per query after the dot."""
+    for q in range(tq):
+        by8 = pl.multiple_of(idx_ref[q, 0], 8)
+        bands_ref[q * BAND : (q + 1) * BAND, :] = plane_ref[q, pl.ds(by8, BAND), :]
+    # one-hot: OH[r, j] = 1{r == colidx[j]}  (colidx = bx_q + c, columns j=q*16+c)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (wp, tq * 16), 0)
+    oh = (r_ids == colidx_ref[0][None, :]).astype(bands_ref.dtype)
+    patch_big = jnp.dot(
+        bands_ref[:, :], oh, preferred_element_type=jnp.float32
+    )  # [tq*BAND, tq*16]
+    for q in range(tq):
+        offy = idx_ref[q, 1]
+        blk = patch_big[q * BAND : (q + 1) * BAND, q * 16 : (q + 1) * 16]
+        blk = pltpu.roll(blk, BAND - offy, axis=0)
+        out_ref[q, :, :] = blk[:sup, :16]
+
+
 def _auto_interpret(interpret):
     """Mosaic compiles only on TPU; everywhere else (CPU tests, virtual-device
     meshes) the kernel runs through the Pallas interpreter."""
@@ -127,7 +157,7 @@ def _auto_interpret(interpret):
     return interpret
 
 
-def _level_support(plane, hw, coords_flat, radius, interpret=None):
+def _level_support(plane, hw, coords_flat, radius, interpret=None, mxu=True):
     """Extract [BQ, SUP, 16] support patches (rows/cols [0..SUP) valid)."""
     interpret = _auto_interpret(interpret)
     h2, w2 = hw
@@ -142,9 +172,35 @@ def _level_support(plane, hw, coords_flat, radius, interpret=None):
     by = jnp.clip(base[:, 1], 0, h2 + 2 * pad - sup)
     bx = jnp.clip(base[:, 0], 0, w2 + 2 * pad - sup)
     by8 = (by // 8) * 8
+
+    if mxu:
+        idx = jnp.stack([by8, by - by8], axis=-1)
+        colidx = (bx[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)).reshape(
+            bq // tq, 1, tq * 16
+        )
+        # VMEM blocks need an 8-divisible sublane dim; replicate rows (tiny)
+        colidx = jnp.broadcast_to(colidx, (bq // tq, 8, tq * 16)).reshape(
+            (bq // tq) * 8, tq * 16
+        )
+        out = pl.pallas_call(
+            functools.partial(_window_kernel_mxu, tq=tq, sup=sup, wp=wp),
+            grid=(bq // tq,),
+            in_specs=[
+                pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, tq * 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tq, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tq, sup, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bq, sup, 16), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tq * BAND, wp), plane.dtype)],
+            interpret=interpret,
+        )(idx, colidx, plane)
+        return out, frac
+
     idx = jnp.stack([by8, by - by8, bx], axis=-1)
     wp_pad = _round_up(wp, 128)
-
     out = pl.pallas_call(
         functools.partial(
             _window_kernel, tq=tq, sup=sup, wp=wp, wp_pad=wp_pad
@@ -177,14 +233,14 @@ def _combine(support, frac, k):
     )
 
 
-def _lookup_impl(planes, shapes, radius, coords, interpret=None):
+def _lookup_impl(planes, shapes, radius, coords, interpret=None, mxu=True):
     b, h1, w1, _ = coords.shape
     bq = b * h1 * w1
     k = 2 * radius + 1
     outs = []
     for i, (plane, hw) in enumerate(zip(planes, shapes)):
         cl = (coords / (2.0**i)).reshape(bq, 2)
-        support, frac = _level_support(plane, hw, cl, radius, interpret)
+        support, frac = _level_support(plane, hw, cl, radius, interpret, mxu)
         out = _combine(support, frac, k)
         # [dy, dx] -> the framework's dx-major channel order
         outs.append(jnp.transpose(out, (0, 2, 1)).reshape(b, h1, w1, k * k))

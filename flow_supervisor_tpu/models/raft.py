@@ -193,7 +193,14 @@ class RAFT(nn.Module):
             if stop_coord_gradient:
                 coords1 = jax.lax.stop_gradient(coords1)
             flow = coords1 - coords0
-            if mdl.cfg.lookup_backend == "pallas":
+            if mdl.cfg.lookup_backend == "zero":
+                # perf-ablation backend: everything except the lookup
+                b_, h8_, w8_ = coords1.shape[0], coords1.shape[1], coords1.shape[2]
+                k2 = mdl.cfg.corr_levels * (2 * mdl.cfg.corr_radius + 1) ** 2
+                corr = jnp.zeros((b_, h8_, w8_, k2), jnp.float32) + jnp.sum(
+                    coords1
+                ) * 0.0
+            elif mdl.cfg.lookup_backend == "pallas":
                 from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
                     corr_pyramid_lookup_v2,
                 )

@@ -30,7 +30,9 @@ def create_sintel_submission(
             if warm_start and prev_low is not None and scene == prev_scene:
                 flow_init = forward_interpolate(prev_low)
             prev_scene = scene
-            results, prev_low = evaluator._run_pair(img1, img2, "sintel", flow_init)
+            results, prev_low = evaluator._run_pair(
+                evaluator.variables, img1, img2, "sintel", flow_init
+            )
             flow = np.asarray(results["student"])[0]
             out_dir = os.path.join(output_path, dstype, scene)
             os.makedirs(out_dir, exist_ok=True)
@@ -43,6 +45,6 @@ def create_kitti_submission(evaluator, output_path: str = "kitti_submission") ->
         (frame_id,) = rec.extra
         img1 = read_image(rec.images[0])
         img2 = read_image(rec.images[1])
-        results, _ = evaluator._run_pair(img1, img2, "kitti", None)
+        results, _ = evaluator._run_pair(evaluator.variables, img1, img2, "kitti", None)
         flow = np.asarray(results["student"])[0]
         write_flow_kitti(os.path.join(output_path, frame_id), flow)

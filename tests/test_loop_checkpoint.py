@@ -47,7 +47,8 @@ def test_train_loop_checkpoints_and_resumes(cfg):
 
     state = train(cfg, _synthetic_iter(), validate_fn=validate)
     assert int(state.step) == 4
-    assert vals == [2, 4]
+    # at-start validation (reference train.py:38) + every val_step
+    assert vals == [0, 2, 4]
     assert ckpt.latest_step(cfg.ckpt_dir) == 4
     assert os.path.exists(os.path.join(cfg.ckpt_dir, "args.yaml"))
     assert os.path.exists(os.path.join(cfg.ckpt_dir, "metrics.jsonl"))

@@ -37,7 +37,7 @@ def main():
     setup()
     rng = np.random.RandomState(0)
     shape = (1, 448, 1024, 3)
-    fns = {b: build(b) for b in ("einsum", "pallas")}
+    fns = {b: build(b) for b in ("zero", "einsum", "pallas")}
     # warmup both
     x1 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
     x2 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
