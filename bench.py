@@ -68,6 +68,16 @@ def main():
     out = forward(img1, img2)
     jax.block_until_ready(out)
 
+    # --trace <dir>: dump a jax.profiler xplane trace of a few steady-state
+    # steps (SURVEY.md §5 — the reference has no profiler at all).
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                jax.block_until_ready(forward(img1 + (i * 1e-5), img2))
+        print(f"trace written to {trace_dir}", file=sys.stderr)
+
     # Sustained throughput: vary the input each call (the execution layer
     # memoizes identical launches) and block on EVERY output. n is large enough
     # to amortize dispatch-pipeline fill.

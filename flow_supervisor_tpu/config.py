@@ -87,6 +87,10 @@ class TrainCfg:
     max_rotation: float = 10.0
     pretrained_ckpt: str = ""
     data_parallel: int = -1  # -1 = all local devices
+    # pod-scale hierarchical DP: number of pod slices (DCN axis). 1 = single
+    # slice (flat data mesh). >1 builds a (dcn, ici) mesh; batch shards over
+    # both axes and the gradient all-reduce goes ICI-first (parallel/mesh.py).
+    dcn_parallel: int = 1
     log_every: int = 100
 
 
@@ -126,13 +130,28 @@ class ExperimentConfig:
             return cls.from_dict(yaml.safe_load(f))
 
     @classmethod
-    def maybe_restore(cls, ckpt_dir: str, fallback: "ExperimentConfig") -> "ExperimentConfig":
+    def maybe_restore(
+        cls,
+        ckpt_dir: str,
+        fallback: "ExperimentConfig",
+        explicit: Optional[set] = None,
+    ) -> "ExperimentConfig":
         """Restore the saved config if one exists beside the checkpoints
-        (evaluate.py:76-79 semantics), else persist and return the fallback."""
+        (evaluate.py:76-79 semantics), else persist and return the fallback.
+
+        ``explicit`` = field names the user passed on THIS command line; those
+        override the restored values (CargBox ``maybe_restore(update=True)``
+        semantics, reference train.py:85-87) — e.g. resuming with a larger
+        --num_steps extends the run instead of being ignored.
+        """
         path = os.path.join(ckpt_dir, CONFIG_FILENAME)
         if os.path.exists(path):
             cfg = cls.load_yaml(path)
             cfg.ckpt_dir = ckpt_dir
+            for name in explicit or ():
+                for section, fb in ((cfg.model, fallback.model), (cfg.train, fallback.train)):
+                    if hasattr(section, name):
+                        setattr(section, name, getattr(fb, name))
             return cfg
         fallback.ckpt_dir = ckpt_dir
         fallback.save_yaml(path)
@@ -182,6 +201,17 @@ def build_argparser(cfg: Optional[ExperimentConfig] = None) -> ArgumentParser:
         else:
             p.add_argument(alias, dest=dest + "_alias", type=str, default=None)
     return p
+
+
+def explicit_cli_fields(argv) -> set:
+    """Field names explicitly passed on the command line (normalized through
+    the reference-flag aliases) — used for CargBox update-on-restore."""
+    names = set()
+    for tok in argv:
+        if tok.startswith("--"):
+            name = tok[2:].split("=")[0]
+            names.add(FLAG_ALIASES.get("--" + name, name))
+    return names
 
 
 def config_from_args(args) -> ExperimentConfig:

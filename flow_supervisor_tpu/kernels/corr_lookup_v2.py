@@ -1,32 +1,32 @@
-"""Pallas TPU kernel v2: fused correlation-pyramid window lookup.
+"""Pallas TPU kernel: fused correlation-pyramid window lookup.
 
 TPU-native counterpart of the reference's ``alt_cuda_corr``
 (pytorch/alt_cuda_corr/correlation_kernel.cu:19-119): for each query, extract
-the (K+1)x(K+1) bilinear support patch from its (zero-padded) correlation
-plane entirely in VMEM, with ZERO matmuls:
+the (K+1)x(K+1) bilinear support patch from its correlation plane entirely in
+VMEM, with zero gathers and zero matmuls:
 
-  1. an 8-aligned dynamic sublane slice pulls a 24-row band
-     (``pl.multiple_of`` satisfies Mosaic's sublane-alignment proof),
-  2. a dynamic sublane roll aligns the window's first row,
-  3. a dynamic lane roll (on a 128-multiple-wide scratch copy) aligns the
-     window's first column,
-  4. the [SUP, 16] support corner is written out; the 4-tap bilinear combine
-     runs outside in XLA where it fuses with the level concat.
+  1. an 8-aligned dynamic sublane slice pulls the 24-row band containing the
+     window (``pl.multiple_of`` satisfies Mosaic's sublane-alignment proof),
+  2. a circular sublane roll brings the window's first row to row 0,
+  3. a circular lane roll (on a 128-multiple-wide scratch) brings the window's
+     first column to column 0,
+  4. out-of-bounds taps are zeroed IN-KERNEL by an iota mask (circular wrap
+     plus mask replaces the zero-padding ring entirely), and the [SUP, 16]
+     support corner is written out; the 4-tap bilinear combine runs outside in
+     XLA where it fuses with the level concat.
 
-This replaces round 1's per-query one-hot matmuls (kernels/corr_lookup.py),
-which were MXU-latency-bound at M=10 per query. Planes are padded ONCE per
-forward (``build_padded_pyramid``) — round 1 re-padded on every refinement
-iteration.
-
-OOB->0 semantics: planes carry a K+1 zero ring; window bases are clamped into
-the padded plane so fully out-of-bounds windows land entirely inside the ring
-(identical contract to ops/corr.py, which remains the correctness oracle; the
-kernel is bit-exact against it on TPU).
+Layout (v3, this file's second iteration): planes are stored UNPADDED in x and
+padded only at the bottom to the band-slice bound — 1.0x the volume bytes in x
+and ~1.2x in y, vs the 1.8x zero-ring layout of the first iteration. Queries
+are processed in groups of 128 per grid step (vs 16), cutting grid steps per
+forward ~8x. OOB windows are handled by clamping the window base into
+[-(SUP-1), dim-1] (everything further is fully out of bounds and masks to
+zero; circularly-wrapped garbage rows/cols are masked too).
 
 Gradients: coords always arrive behind ``stop_gradient`` in RAFT (the
 reference detaches coords before every lookup, raft/__init__.py:155), so the
 custom VJP returns zero coordinate gradients; the plane gradient is the
-transposed one-hot scatter computed by XLA via the oracle's autodiff.
+transposed one-hot scatter computed by XLA via the einsum oracle's autodiff.
 """
 from __future__ import annotations
 
@@ -39,27 +39,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BAND = 24  # rows fetched per query: 8-alignment slack (<=7) + SUP (10) <= 24
+BAND = 24  # rows fetched per query: 8-alignment slack + SUP (10) <= 24
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_tq(bq: int, preferred: int = 16) -> int:
-    for tq in (preferred, 8, 4, 2, 1):
-        if bq % tq == 0:
+def _pick_tq(bq: int, preferred: int = 128) -> int:
+    for tq in (preferred, 64, 32, 16, 8, 4, 2, 1):
+        if tq <= preferred and bq % tq == 0:
             return tq
     return 1
+
+
+def plane_height(h2: int) -> int:
+    """Padded plane height: the 8-aligned band start for the largest valid
+    window base (h2-1), plus the BAND."""
+    return max(((h2 - 1) // 8) * 8 + BAND, _round_up(h2, 8))
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PaddedPyramid:
-    """Correlation pyramid stored as zero-padded per-query planes.
+    """Correlation pyramid stored as per-query planes, bottom-padded to the
+    band bound.
 
-    planes[l]: [BQ, Hp_l, Wp_l]; shapes[l] = (h2_l, w2_l) unpadded target dims;
-    radius is the lookup radius the padding was sized for.
+    planes[l]: [BQ, Hp_l, w2_l]; shapes[l] = (h2_l, w2_l) unpadded target dims;
+    radius is the lookup radius the layout was sized for.
     """
 
     planes: list[jax.Array]
@@ -75,17 +82,11 @@ class PaddedPyramid:
 
 
 def pad_plane(vol: jax.Array, radius: int) -> jax.Array:
-    """[B, h1, w1, h2, w2] volume -> [BQ, Hp, Wp] zero-padded plane."""
+    """[B, h1, w1, h2, w2] volume -> [BQ, Hp, w2] bottom-padded plane."""
     b, h1, w1, h2, w2 = vol.shape
-    sup = 2 * radius + 2
-    pad = sup
     bq = b * h1 * w1
-    hp_data = h2 + 2 * pad
-    max_base = h2 + 2 * pad - sup
-    hp = max(_round_up((max_base // 8) * 8 + BAND, 8), hp_data)
-    return jnp.pad(
-        vol.reshape(bq, h2, w2), ((0, 0), (pad, hp - hp_data + pad), (pad, pad))
-    )
+    hp = plane_height(h2)
+    return jnp.pad(vol.reshape(bq, h2, w2), ((0, 0), (0, hp - h2), (0, 0)))
 
 
 def build_padded_pyramid(
@@ -100,8 +101,8 @@ def build_padded_pyramid(
 
     vols = build_corr_pyramid_from_fmaps(fmap1, fmap2, num_levels, out_dtype)
     # Barrier: materialize each padded plane exactly once. Without it XLA is
-    # free to fuse the pad into every per-iteration consumer, recomputing the
-    # 100+ MB pad 12x per forward.
+    # free to fuse the pad into every per-iteration consumer, recomputing it
+    # 12x per forward.
     planes = jax.lax.optimization_barrier(
         tuple(pad_plane(v, radius) for v in vols)
     )
@@ -112,41 +113,26 @@ def build_padded_pyramid(
     )
 
 
-def _window_kernel(idx_ref, plane_ref, out_ref, scratch_ref, *, tq, sup, wp, wp_pad):
+def _window_kernel(idx_ref, plane_ref, out_ref, scratch_ref, *, tq, sup, h2, w2, wp_pad):
+    # tap-validity iotas are shared by every query in the group
+    iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
+    iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
     for q in range(tq):
         by8 = pl.multiple_of(idx_ref[q, 0], 8)
-        offy = idx_ref[q, 1]
-        bx = idx_ref[q, 2]
+        sy = idx_ref[q, 1]
+        sx = idx_ref[q, 2]
+        by = idx_ref[q, 3]
+        bx = idx_ref[q, 4]
         # dynamic rotates are 32-bit only: upcast bf16 bands in-register
         band = plane_ref[q, pl.ds(by8, BAND), :].astype(jnp.float32)
-        band = pltpu.roll(band, BAND - offy, axis=0)  # window rows -> [0..SUP)
-        scratch_ref[:, :wp] = band[:16, :]
-        patch = pltpu.roll(scratch_ref[:, :], wp_pad - bx, axis=1)
-        out_ref[q, :, :] = patch[:sup, :16]
-
-
-def _window_kernel_mxu(
-    idx_ref, colidx_ref, plane_ref, out_ref, bands_ref, *, tq, sup, wp
-):
-    """MXU variant: per-query aligned 24-row bands are gathered into one
-    scratch, then a SINGLE block-diagonal one-hot matmul selects every query's
-    16 window columns at once — [tq*24, Wp] @ [Wp, tq*16] on the MXU replaces
-    tq per-query lane rotations on the VPU. Row alignment (offy) is fixed by a
-    cheap [24, 16] dynamic rotate per query after the dot."""
-    for q in range(tq):
-        by8 = pl.multiple_of(idx_ref[q, 0], 8)
-        bands_ref[q * BAND : (q + 1) * BAND, :] = plane_ref[q, pl.ds(by8, BAND), :]
-    # one-hot: OH[r, j] = 1{r == colidx[j]}  (colidx = bx_q + c, columns j=q*16+c)
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (wp, tq * 16), 0)
-    oh = (r_ids == colidx_ref[0][None, :]).astype(bands_ref.dtype)
-    patch_big = jnp.dot(
-        bands_ref[:, :], oh, preferred_element_type=jnp.float32
-    )  # [tq*BAND, tq*16]
-    for q in range(tq):
-        offy = idx_ref[q, 1]
-        blk = patch_big[q * BAND : (q + 1) * BAND, q * 16 : (q + 1) * 16]
-        blk = pltpu.roll(blk, BAND - offy, axis=0)
-        out_ref[q, :, :] = blk[:sup, :16]
+        band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
+        scratch_ref[:, :w2] = band[:16, :]
+        patch = pltpu.roll(scratch_ref[:, :], sx, axis=1)[:sup, :16]
+        valid = (
+            (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
+        )
+        # where (not multiply): wrapped/stale scratch values may be anything
+        out_ref[q, :, :] = jnp.where(valid, patch, 0.0)
 
 
 def _auto_interpret(interpret):
@@ -157,57 +143,36 @@ def _auto_interpret(interpret):
     return interpret
 
 
-def _level_support(plane, hw, coords_flat, radius, interpret=None, mxu=True):
-    """Extract [BQ, SUP, 16] support patches (rows/cols [0..SUP) valid)."""
+def _level_support(plane, hw, coords_flat, radius, interpret=None):
+    """Extract [BQ, SUP, 16] support patches (rows [0..SUP), cols [0..SUP+1)
+    hold the window; the rest is zero)."""
     interpret = _auto_interpret(interpret)
     h2, w2 = hw
     sup = 2 * radius + 2
-    pad = sup
     bq, hp, wp = plane.shape
+    assert wp == w2, (wp, w2)
     tq = _pick_tq(bq)
+    wp_pad = _round_up(w2, 128)
 
     fl = jnp.floor(coords_flat)
     frac = (coords_flat - fl).astype(jnp.float32)
-    base = fl.astype(jnp.int32) - radius + pad
-    by = jnp.clip(base[:, 1], 0, h2 + 2 * pad - sup)
-    bx = jnp.clip(base[:, 0], 0, w2 + 2 * pad - sup)
-    by8 = (by // 8) * 8
+    base = fl.astype(jnp.int32) - radius
+    # beyond [-sup, dim] every tap is OOB, and at the bounds themselves the
+    # window is already fully OOB too — clamping there keeps the mask all-zero
+    by = jnp.clip(base[:, 1], -sup, h2)
+    bx = jnp.clip(base[:, 0], -sup, w2)
+    by8 = jnp.clip((by // 8) * 8, 0, hp - BAND)
+    sy = jnp.mod(BAND - (by - by8), BAND)
+    sx = jnp.mod(wp_pad - bx, wp_pad)
 
-    if mxu:
-        idx = jnp.stack([by8, by - by8], axis=-1)
-        colidx = (bx[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)).reshape(
-            bq // tq, 1, tq * 16
-        )
-        # VMEM blocks need an 8-divisible sublane dim; replicate rows (tiny)
-        colidx = jnp.broadcast_to(colidx, (bq // tq, 8, tq * 16)).reshape(
-            (bq // tq) * 8, tq * 16
-        )
-        out = pl.pallas_call(
-            functools.partial(_window_kernel_mxu, tq=tq, sup=sup, wp=wp),
-            grid=(bq // tq,),
-            in_specs=[
-                pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((8, tq * 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tq, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (tq, sup, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((bq, sup, 16), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((tq * BAND, wp), plane.dtype)],
-            interpret=interpret,
-        )(idx, colidx, plane)
-        return out, frac
-
-    idx = jnp.stack([by8, by - by8, bx], axis=-1)
-    wp_pad = _round_up(wp, 128)
+    idx = jnp.stack([by8, sy, sx, by, bx], axis=-1)
     out = pl.pallas_call(
         functools.partial(
-            _window_kernel, tq=tq, sup=sup, wp=wp, wp_pad=wp_pad
+            _window_kernel, tq=tq, sup=sup, h2=h2, w2=w2, wp_pad=wp_pad
         ),
         grid=(bq // tq,),
         in_specs=[
-            pl.BlockSpec((tq, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tq, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -233,17 +198,24 @@ def _combine(support, frac, k):
     )
 
 
-def _lookup_impl(planes, shapes, radius, coords, interpret=None, mxu=True):
+def _lookup_impl(planes, shapes, radius, coords, interpret=None, dy_major=False):
     b, h1, w1, _ = coords.shape
     bq = b * h1 * w1
     k = 2 * radius + 1
     outs = []
     for i, (plane, hw) in enumerate(zip(planes, shapes)):
         cl = (coords / (2.0**i)).reshape(bq, 2)
-        support, frac = _level_support(plane, hw, cl, radius, interpret, mxu)
+        support, frac = _level_support(plane, hw, cl, radius, interpret)
         out = _combine(support, frac, k)
-        # [dy, dx] -> the framework's dx-major channel order
-        outs.append(jnp.transpose(out, (0, 2, 1)).reshape(b, h1, w1, k * k))
+        if dy_major:
+            # keep the kernel's natural [dy, dx] order; the consumer folds the
+            # dx-major permutation into its first 1x1 conv weights instead
+            # (models/update.py corr_perm) — the XLA minor-dims transpose here
+            # cost 7.1 ms/fwd by profile
+            outs.append(out.reshape(b, h1, w1, k * k))
+        else:
+            # [dy, dx] -> the reference's dx-major channel order
+            outs.append(jnp.transpose(out, (0, 2, 1)).reshape(b, h1, w1, k * k))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -253,25 +225,36 @@ def _oracle_lookup(planes, shapes, radius, coords):
     from flow_supervisor_tpu.ops.corr import corr_pyramid_lookup
 
     b, h1, w1, _ = coords.shape
-    pad = 2 * radius + 2
     vols = [
-        p[:, pad : pad + h2, pad : pad + w2].reshape(b, h1, w1, h2, w2)
+        p[:, :h2, :w2].reshape(b, h1, w1, h2, w2)
         for p, (h2, w2) in zip(planes, shapes)
     ]
     return corr_pyramid_lookup(vols, coords, radius)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _lookup(planes, shapes, radius, coords):
-    return _lookup_impl(planes, shapes, radius, coords)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
+def _lookup(planes, shapes, radius, coords, dy_major=False):
+    return _lookup_impl(planes, shapes, radius, coords, dy_major=dy_major)
 
 
-def _lookup_fwd(planes, shapes, radius, coords):
-    return _lookup_impl(planes, shapes, radius, coords), (planes, coords)
+def _lookup_fwd(planes, shapes, radius, coords, dy_major):
+    return (
+        _lookup_impl(planes, shapes, radius, coords, dy_major=dy_major),
+        (planes, coords),
+    )
 
 
-def _lookup_bwd(shapes, radius, res, g):
+def _lookup_bwd(shapes, radius, dy_major, res, g):
     planes, coords = res
+    if dy_major:
+        # oracle emits dx-major; reorder the cotangent to match
+        b, h1, w1, c = g.shape
+        k = 2 * radius + 1
+        g = (
+            g.reshape(b, h1, w1, len(shapes), k, k)
+            .swapaxes(-1, -2)
+            .reshape(b, h1, w1, c)
+        )
     # d(planes) via the oracle's autodiff (transposed one-hot scatter on the
     # MXU); coords are stop-gradient at every call site (reference detaches
     # coords before lookup, raft/__init__.py:155) so their grad is zero.
@@ -284,8 +267,15 @@ _lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
 def corr_pyramid_lookup_v2(
-    pyramid: PaddedPyramid, coords: jax.Array, radius: int = 4
+    pyramid: PaddedPyramid,
+    coords: jax.Array,
+    radius: int = 4,
+    dy_major: bool = False,
 ) -> jax.Array:
-    """Drop-in lookup on a PaddedPyramid: [B, h1, w1, L*(2r+1)^2]."""
+    """Drop-in lookup on a PaddedPyramid: [B, h1, w1, L*(2r+1)^2].
+
+    ``dy_major=True`` emits each level's window channels as dy*k+dx instead of
+    the reference's dx*k+dy, skipping a costly channel transpose; the consumer
+    must fold the permutation into its weights (models/update.py)."""
     assert radius == pyramid.radius, (radius, pyramid.radius)
-    return _lookup(list(pyramid.planes), pyramid.shapes, radius, coords)
+    return _lookup(list(pyramid.planes), pyramid.shapes, radius, coords, dy_major)

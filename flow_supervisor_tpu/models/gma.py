@@ -132,12 +132,13 @@ class GMAUpdateBlock(nn.Module):
     convex_upsampling: bool = True
     upsample_scale: int = 8
     dtype: jnp.dtype = jnp.float32
+    dy_major_corr: bool = False
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, attention):
-        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, self.dtype)(
-            flow, corr
-        )
+        motion = BasicMotionEncoder(
+            self.corr_levels, self.corr_radius, self.dtype, self.dy_major_corr
+        )(flow, corr)
         motion_global = Aggregate(128, self.heads, 128, self.dtype)(attention, motion)
         inp_cat = jnp.concatenate([inp, motion, motion_global], axis=-1)
         net = SepConvGRU(

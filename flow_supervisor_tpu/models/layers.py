@@ -66,9 +66,27 @@ class ExtractorConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        ks = self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size)
+        if ks != (1, 1) and self.c_in >= 64:
+            # encoder convs as tap-accumulated MXU matmuls: XLA's batch-1 conv
+            # emitters pick transposed layouts here that also poison every
+            # downstream norm/relu (fnet was 10.2 ms/fwd by profile). The
+            # taps mode avoids the im2col materialization (132 MB per
+            # 3x3@224x512) that sank the plain-im2col attempt.
+            return _MxuConv(
+                features=self.c_out,
+                kernel_size=ks,
+                padding=tuple(_pad_for(self.k_size)),
+                kernel_init=extractor_kernel_init(),
+                bias_init=conv_bias_init(self.c_in, self.k_size),
+                dtype=self.dtype,
+                strides=(self.stride, self.stride),
+                taps=True,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             self.c_out,
-            kernel_size=self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size),
+            kernel_size=ks,
             strides=(self.stride, self.stride),
             padding=_pad_for(self.k_size),
             kernel_init=extractor_kernel_init(),
@@ -78,6 +96,127 @@ class ExtractorConv(nn.Module):
         )(x)
 
 
+class _MxuConv(nn.Module):
+    """Drop-in for ``nn.Conv`` (same param names/shapes/inits) that lowers the
+    stride-1 conv as explicit MXU matmuls instead of ``lax.conv``.
+
+    Why: at batch 1 with h/8-scale spatial dims, XLA's TPU conv emitters pick
+    vector-path/transposed-layout lowerings for the update-block convs — the
+    profile shows ~1.1 ms for a (1,5) GRU conv whose matmul form costs ~25 us,
+    and ~0.3 ms for the 2-channel flow head conv. Two lowering routes:
+
+    - kh*kw*cin <= IM2COL_MAX: one im2col dot [B*H*W, kh*kw*cin] @ [., cout]
+      (small-K taps, e.g. the 7x7 conv on 2-channel flow, need the single
+      big-K dot).
+    - else: tap accumulation sum_ij shift(x, ij) @ kernel[i, j] — k matmuls
+      with K=cin, N=cout, M=B*H*W, all MXU-shaped.
+
+    Tiny output-channel counts (the flow head's 2) are zero-padded to 16 so
+    the dot keeps an MXU-worthy N; barriers stop the algebraic simplifier from
+    pushing the output slice back into the weights. Accumulation is fp32.
+    Parameter shapes are unchanged, so checkpoint converters and parity tests
+    are unaffected."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    padding: Sequence[tuple[int, int]]
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: jnp.dtype
+    strides: tuple[int, int] = (1, 1)
+    # taps=True: accumulate k matmuls over kernel taps instead of one im2col
+    # dot — no [*, kh*kw*cin] materialization, for big-spatial encoder convs
+    taps: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kshape = (kh, kw, cin, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+
+        n_pad = 16 if self.features < 8 else self.features
+        k = kernel.astype(self.dtype)
+        if n_pad != self.features:
+            k = jax.lax.optimization_barrier(
+                jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, n_pad - self.features)))
+            )
+
+        (ph0, ph1), (pw0, pw1) = self.padding
+        sh, sw = self.strides
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+        b, hp, wp, _ = xp.shape
+        h, w = (hp - kh) // sh + 1, (wp - kw) // sw + 1
+        m = b * h * w
+
+        def tap(i, j):
+            return jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (b, i + (h - 1) * sh + 1, j + (w - 1) * sw + 1, cin),
+                (1, sh, sw, 1),
+            )
+
+        if self.taps:
+            y = jnp.zeros((m, n_pad), jnp.float32)
+            for i in range(kh):
+                for j in range(kw):
+                    y = y + jax.lax.dot_general(
+                        tap(i, j).reshape(m, cin),
+                        k[i, j],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+        else:
+            cols = jnp.concatenate(
+                [tap(i, j) for i in range(kh) for j in range(kw)], axis=-1
+            ).reshape(m, kh * kw * cin)
+            y = jax.lax.dot_general(
+                cols,
+                k.reshape(kh * kw * cin, n_pad),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if n_pad != self.features:
+            y = jax.lax.optimization_barrier(y)[:, : self.features]
+        y = y.astype(self.dtype) + bias.astype(self.dtype)
+        return y.reshape(b, h, w, self.features)
+
+
+class _Perm1x1(nn.Module):
+    """1x1 conv (``nn.Conv``-compatible params) whose INPUT channels are
+    permuted at apply time. Lets a producer emit channels in its fast native
+    order (e.g. the corr lookup's dy-major windows) while the stored weights
+    keep the reference's canonical order — the permutation is folded into the
+    weight matrix, so checkpoints and converters are untouched."""
+
+    features: int
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: jnp.dtype
+    perm: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        assert len(self.perm) == cin, (len(self.perm), cin)
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        w = kernel[0, 0][jnp.asarray(self.perm), :]
+        b, h, wd, _ = x.shape
+        y = jax.lax.dot_general(
+            x.reshape(-1, cin).astype(self.dtype),
+            w.astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.astype(self.dtype) + bias.astype(self.dtype)
+        return y.reshape(b, h, wd, self.features)
+
+
 class UpdateConv(nn.Module):
     """Conv with uniform +-1/sqrt(fan_in) init (reference update-block convs)."""
 
@@ -85,12 +224,39 @@ class UpdateConv(nn.Module):
     c_out: int
     k_size: int | tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    in_perm: tuple | None = None  # 1x1 only: apply-time input permutation
 
     @nn.compact
     def __call__(self, x):
+        ks = self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size)
+        if self.in_perm is not None:
+            assert ks == (1, 1), ks
+            return _Perm1x1(
+                features=self.c_out,
+                kernel_init=update_kernel_init(),
+                bias_init=conv_bias_init(self.c_in, self.k_size),
+                dtype=self.dtype,
+                perm=self.in_perm,
+                name="Conv_0",
+            )(x)
+        if (ks != (1, 1) and self.c_in >= 64) or self.c_out < 8:
+            # wide-channel non-1x1 update-block convs: explicit MXU matmul
+            # lowering (XLA's conv emitters are vector-path at these shapes;
+            # see _MxuConv). 1x1 convs already lower to clean matmuls, and
+            # tiny-cin convs (the 7x7 on 2-channel flow) are cheap on the
+            # vector path but terrible as 2-lane-stripe im2col concats.
+            return _MxuConv(
+                features=self.c_out,
+                kernel_size=ks,
+                padding=tuple(_pad_for(self.k_size)),
+                kernel_init=update_kernel_init(),
+                bias_init=conv_bias_init(self.c_in, self.k_size),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             self.c_out,
-            kernel_size=self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size),
+            kernel_size=ks,
             strides=(1, 1),
             padding=_pad_for(self.k_size),
             kernel_init=update_kernel_init(),
@@ -101,11 +267,25 @@ class UpdateConv(nn.Module):
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """Per-sample, per-channel spatial normalization without affine params."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    """Per-sample, per-channel spatial normalization without affine params.
+
+    Stats accumulate in float32 via reduction dtypes and the E[x^2]-E[x]^2
+    identity rather than materializing a float32 copy of x: the naive
+    (x32 - mean)^2 form made XLA materialize x32 AND its square as full
+    [B,H,W,C] float32 tensors in a transposed layout (~0.73 ms per norm at
+    448x1024 by profile, vs ~0.08 ms bandwidth-bound). Accuracy holds: with
+    fp32 accumulation the cancellation error is ~(mean/sigma)^2 * 2^-24,
+    negligible at activation scales, and the torch golden-parity tests
+    (<2e-3 px) pin it.
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    sqmean = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True
+    )
+    var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
+    return ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)).astype(
+        x.dtype
+    )
 
 
 class Norm(nn.Module):

@@ -68,6 +68,11 @@ class RAFTConfig:
     # or "pallas" (fused slice+roll window kernel, kernels/corr_lookup_v2.py —
     # bit-exact vs einsum, faster on TPU; interpreted elsewhere)
     lookup_backend: str = "einsum"
+    # emit corr window channels dy-major and fold the reference's dx-major
+    # order into the motion encoder's first 1x1 conv weights (corr_perm) —
+    # skips a 7 ms/fwd channel transpose; numerics identical up to fp
+    # summation order. Off = reference channel order end to end.
+    dy_major_corr: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -102,6 +107,7 @@ class RAFT(nn.Module):
                 corr_levels=cfg.corr_levels,
                 corr_radius=cfg.corr_radius,
                 dtype=cfg.dtype,
+                dy_major_corr=cfg.dy_major_corr,
             )
         else:
             self.fnet = BasicEncoder(256, "instance", cfg.dropout, cfg.dtype)
@@ -117,6 +123,7 @@ class RAFT(nn.Module):
                     heads=cfg.num_heads,
                     convex_upsampling=cfg.convex_upsampling,
                     dtype=cfg.dtype,
+                    dy_major_corr=cfg.dy_major_corr,
                 )
                 self.att = Attention(
                     dim=cdim,
@@ -135,6 +142,7 @@ class RAFT(nn.Module):
                     corr_radius=cfg.corr_radius,
                     convex_upsampling=cfg.convex_upsampling,
                     dtype=cfg.dtype,
+                    dy_major_corr=cfg.dy_major_corr,
                 )
         if cfg.update_ckpt:
             block = nn.remat(block)
@@ -206,11 +214,13 @@ class RAFT(nn.Module):
                 )
 
                 corr = corr_pyramid_lookup_v2(
-                    corr_pyramid, coords1, mdl.cfg.corr_radius
+                    corr_pyramid, coords1, mdl.cfg.corr_radius,
+                    dy_major=mdl.cfg.dy_major_corr,
                 )
             else:
                 corr = corr_pyramid_lookup(
-                    corr_pyramid, coords1, mdl.cfg.corr_radius
+                    corr_pyramid, coords1, mdl.cfg.corr_radius,
+                    dy_major=mdl.cfg.dy_major_corr,
                 )
             block_args = (
                 net,

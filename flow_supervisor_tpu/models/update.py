@@ -79,15 +79,34 @@ class FlowHead(nn.Module):
         return UpdateConv(self.hidden_dim, 2, 3, self.dtype)(y)
 
 
+def corr_perm(levels: int, radius: int) -> tuple:
+    """Permutation mapping dy-major window channels onto the reference's
+    dx-major weight rows: feeding dy-major corr through weights W[perm] equals
+    feeding dx-major corr through W (kernels/corr_lookup_v2.py dy_major)."""
+    k = 2 * radius + 1
+    return tuple(
+        l * k * k + dx * k + dy
+        for l in range(levels)
+        for dy in range(k)
+        for dx in range(k)
+    )
+
+
 class BasicMotionEncoder(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 4
     dtype: jnp.dtype = jnp.float32
+    dy_major_corr: bool = False
 
     @nn.compact
     def __call__(self, flow, corr):
         cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        cor = nn.relu(UpdateConv(cor_planes, 256, 1, self.dtype)(corr))
+        perm = (
+            corr_perm(self.corr_levels, self.corr_radius)
+            if self.dy_major_corr
+            else None
+        )
+        cor = nn.relu(UpdateConv(cor_planes, 256, 1, self.dtype, in_perm=perm)(corr))
         cor = nn.relu(UpdateConv(256, 192, 3, self.dtype)(cor))
         flo = nn.relu(UpdateConv(2, 128, 7, self.dtype)(flow))
         flo = nn.relu(UpdateConv(128, 64, 3, self.dtype)(flo))
@@ -103,11 +122,17 @@ class SmallMotionEncoder(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 3
     dtype: jnp.dtype = jnp.float32
+    dy_major_corr: bool = False
 
     @nn.compact
     def __call__(self, flow, corr):
         cor_planes = self.corr_levels * (2 * self.corr_radius + 1) ** 2
-        cor = nn.relu(UpdateConv(cor_planes, 96, 1, self.dtype)(corr))
+        perm = (
+            corr_perm(self.corr_levels, self.corr_radius)
+            if self.dy_major_corr
+            else None
+        )
+        cor = nn.relu(UpdateConv(cor_planes, 96, 1, self.dtype, in_perm=perm)(corr))
         flo = nn.relu(UpdateConv(96, 64, 7, self.dtype)(flow))
         flo = nn.relu(UpdateConv(64, 32, 3, self.dtype)(flo))
         out = nn.relu(
@@ -123,12 +148,13 @@ class BasicUpdateBlock(nn.Module):
     convex_upsampling: bool = True
     upsample_scale: int = 8
     dtype: jnp.dtype = jnp.float32
+    dy_major_corr: bool = False
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(self.corr_levels, self.corr_radius, self.dtype)(
-            flow, corr
-        )
+        motion = BasicMotionEncoder(
+            self.corr_levels, self.corr_radius, self.dtype, self.dy_major_corr
+        )(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(self.hidden_dim, 128 + self.hidden_dim, self.dtype)(net, inp)
         delta_flow = FlowHead(256, self.hidden_dim, self.dtype)(net)
@@ -146,12 +172,13 @@ class SmallUpdateBlock(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 3
     dtype: jnp.dtype = jnp.float32
+    dy_major_corr: bool = False
 
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = SmallMotionEncoder(self.corr_levels, self.corr_radius, self.dtype)(
-            flow, corr
-        )
+        motion = SmallMotionEncoder(
+            self.corr_levels, self.corr_radius, self.dtype, self.dy_major_corr
+        )(flow, corr)
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = ConvGRU(self.hidden_dim, 82 + 64, self.dtype)(net, inp)
         delta_flow = FlowHead(128, self.hidden_dim, self.dtype)(net)

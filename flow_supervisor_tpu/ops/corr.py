@@ -192,7 +192,9 @@ def _interp_matrix(pos: jax.Array, size: int, radius: int) -> jax.Array:
     return (support == c[None, None]).astype(jnp.float32)
 
 
-def _lookup_level_matmul(vol: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+def _lookup_level_matmul(
+    vol: jax.Array, coords: jax.Array, radius: int, dy_major: bool = False
+) -> jax.Array:
     """Gather-free lookup: patch[q] = R_y[q] @ vol[q] @ R_x[q]^T, then a 4-tap
     bilinear combine. All heavy work is batched matmul (MXU), no gathers — the
     TPU-native replacement for both the XLA gather path and the reference's
@@ -237,13 +239,20 @@ def _lookup_level_matmul(vol: jax.Array, coords: jax.Array, radius: int) -> jax.
         + fy * (1.0 - fx) * p10
         + fy * fx * p11
     )
+    if dy_major:
+        # natural [dy, dx] order: the consumer folds the dx-major permutation
+        # into its first 1x1 conv weights (models/update.py corr_perm)
+        return out.reshape(b, h1, w1, k * k)
     # channel order: dx-major (out[..., i_dx * k + j_dy]) — transpose (u, v)
     out = jnp.transpose(out, (0, 1, 3, 2)).reshape(b, h1, w1, k * k)
     return out
 
 
 def corr_pyramid_lookup(
-    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+    pyramid: list[jax.Array],
+    coords: jax.Array,
+    radius: int = 4,
+    dy_major: bool = False,
 ) -> jax.Array:
     """Concatenated window samples over all levels: [B, h1, w1, L*(2r+1)^2].
 
@@ -252,7 +261,7 @@ def corr_pyramid_lookup(
     """
     outs = []
     for i, vol in enumerate(pyramid):
-        outs.append(_lookup_level_matmul(vol, coords / (2.0**i), radius))
+        outs.append(_lookup_level_matmul(vol, coords / (2.0**i), radius, dy_major))
     return jnp.concatenate(outs, axis=-1)
 
 

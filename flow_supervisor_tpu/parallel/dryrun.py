@@ -90,3 +90,24 @@ def run_dryrun(n_devices: int) -> None:
         f"dryrun_multichip ok: {n_devices} devices, "
         + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(log.items()))
     )
+
+    # Pod-scale hierarchical DP (BASELINE config 5): the same semi step over a
+    # (dcn, ici) 2-D mesh — batch sharded over both axes, gradient all-reduce
+    # ICI-first then cross-slice over DCN.
+    if n_devices % 2 == 0 and n_devices >= 4:
+        from flow_supervisor_tpu.parallel.mesh import make_pod_mesh
+
+        pod = make_pod_mesh(2, n_devices // 2)
+        with jax.set_mesh(pod):
+            pstate = replicate(state, pod)
+            psup = shard_batch(sup_batch, pod)
+            punsup = shard_batch(unsup_batch, pod)
+            pnew, plog = step(pstate, psup, punsup)
+            jax.block_until_ready(pnew.params)
+        assert int(pnew.step) == 1
+        for k, v in plog.items():
+            assert np.isfinite(float(v)), (k, v)
+        print(
+            f"dryrun_multichip pod mesh ok: (dcn=2, ici={n_devices // 2}), "
+            + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(plog.items()))
+        )

@@ -18,6 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
 
 
 def make_mesh(n_devices: Optional[int] = None, space: int = 1) -> Mesh:
@@ -26,6 +28,39 @@ def make_mesh(n_devices: Optional[int] = None, space: int = 1) -> Mesh:
     assert n % space == 0, (n, space)
     arr = np.asarray(devices[:n]).reshape(n // space, space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def make_pod_mesh(dcn: int, ici: Optional[int] = None) -> Mesh:
+    """Pod-scale data-parallel mesh: a slow DCN axis over pod slices times a
+    fast ICI axis within each slice. The batch is sharded over BOTH axes;
+    XLA lowers the gradient all-reduce hierarchically (reduce over ICI inside
+    each slice, then the small cross-slice exchange over DCN) — the TPU
+    equivalent of multi-host MirroredStrategy, which the reference never had
+    (single host only, train.py:63-78).
+
+    Uses ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` on real
+    multi-slice hardware so the ICI axis maps onto physically-linked chips;
+    falls back to a plain reshape for virtual/CPU device sets.
+    """
+    devices = jax.devices()
+    if ici is None:
+        assert len(devices) % dcn == 0, (len(devices), dcn)
+        ici = len(devices) // dcn
+    n = dcn * ici
+    assert len(devices) >= n, (len(devices), n)
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (ici,), (dcn,), devices=devices[:n]
+        )  # [dcn, ici]
+    except Exception:
+        arr = np.asarray(devices[:n]).reshape(dcn, ici)
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+
+
+def is_pod_mesh(mesh: Mesh) -> bool:
+    return DCN_AXIS in mesh.axis_names
 
 
 def auto_data_parallel(batch_size: int, n_devices: Optional[int] = None) -> int:
@@ -39,6 +74,8 @@ def auto_data_parallel(batch_size: int, n_devices: Optional[int] = None) -> int:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    if is_pod_mesh(mesh):
+        return NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -153,9 +153,14 @@ def train(
     if start_step:
         state = state.replace(step=jnp.asarray(start_step, jnp.int32))
 
-    from flow_supervisor_tpu.parallel.mesh import auto_data_parallel
+    from flow_supervisor_tpu.parallel.mesh import auto_data_parallel, make_pod_mesh
 
-    mesh = make_mesh(auto_data_parallel(cfg.train.batch_size, cfg.train.data_parallel))
+    if cfg.train.dcn_parallel > 1:
+        mesh = make_pod_mesh(cfg.train.dcn_parallel)
+    else:
+        mesh = make_mesh(
+            auto_data_parallel(cfg.train.batch_size, cfg.train.data_parallel)
+        )
     logger = MetricLogger(cfg.ckpt_dir)
     cfg.save_yaml()
 

@@ -37,6 +37,26 @@ def test_maybe_restore_prefers_saved(tmp_path):
     assert restored.train.lr == 4e-4
 
 
+def test_maybe_restore_explicit_overrides(tmp_path):
+    # CargBox maybe_restore(update=True): flags passed on THIS command line
+    # override the restored YAML (e.g. extending --num_steps on resume)
+    from flow_supervisor_tpu.config import explicit_cli_fields
+
+    ckpt_dir = str(tmp_path / "run")
+    first = ExperimentConfig(
+        train=TrainCfg(stage="chairs", num_steps=2), ckpt_dir=ckpt_dir
+    )
+    ExperimentConfig.maybe_restore(ckpt_dir, first)
+
+    argv = [ckpt_dir, "--num_steps", "4", "--max_step", "4"]
+    explicit = explicit_cli_fields(argv[1:])
+    assert "num_steps" in explicit  # both spellings normalize to the field
+    second = ExperimentConfig(train=TrainCfg(stage="things", num_steps=4))
+    restored = ExperimentConfig.maybe_restore(ckpt_dir, second, explicit=explicit)
+    assert restored.train.num_steps == 4  # overridden
+    assert restored.train.stage == "chairs"  # not passed -> restored value
+
+
 def test_reference_flag_aliases():
     p = build_argparser()
     args = p.parse_args(

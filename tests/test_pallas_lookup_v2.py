@@ -83,6 +83,6 @@ def test_vjp_matches_oracle(setup):
 
 
 def test_pick_tq():
-    assert v2._pick_tq(7168) == 16
+    assert v2._pick_tq(7168) == 128
     assert v2._pick_tq(4500) == 4
     assert v2._pick_tq(7) == 1

@@ -71,6 +71,15 @@ def main():
     print("first step ok:", {k: round(float(v), 4) for k, v in log.items()},
           file=sys.stderr)
 
+    # --trace <dir>: jax.profiler xplane capture of steady-state steps
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+        with jax.profiler.trace(trace_dir):
+            for i in range(2):
+                state, _ = step(state, dict(sup, image1=sup["image1"] + i * 1e-6), unsup)
+            jax.block_until_ready(state.params)
+        print(f"trace written to {trace_dir}", file=sys.stderr)
+
     n = 10
     t0 = time.perf_counter()
     for i in range(n):

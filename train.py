@@ -17,15 +17,20 @@ def main():
     from flow_supervisor_tpu.utils.jax_setup import setup as _jax_setup
     _jax_setup()
 
+    import sys
+
     from flow_supervisor_tpu.config import (
         ExperimentConfig,
         build_argparser,
         config_from_args,
+        explicit_cli_fields,
     )
 
     parser = build_argparser()
     cfg = config_from_args(parser.parse_args())
-    cfg = ExperimentConfig.maybe_restore(cfg.ckpt_dir, cfg)
+    cfg = ExperimentConfig.maybe_restore(
+        cfg.ckpt_dir, cfg, explicit=explicit_cli_fields(sys.argv[1:])
+    )
 
     from flow_supervisor_tpu.data.pipeline import fetch_dataloader
     from flow_supervisor_tpu.training.loop import train
