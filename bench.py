@@ -48,10 +48,16 @@ def main():
     iters = 12
     bf16 = "--fp32" not in sys.argv
 
+    backend = (
+        sys.argv[sys.argv.index("--backend") + 1]
+        if "--backend" in sys.argv
+        else "pallas"
+    )
     cfg = RAFTConfig(
         iters=iters,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
         corr_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        lookup_backend=backend,
     ).resolved()
     model = RAFT(cfg)
 
@@ -60,12 +66,15 @@ def main():
     img2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
 
+    # params as ARGUMENTS, not closure constants: the remote compile service
+    # rejects large constant uploads and fetching params for constant-inlining
+    # crawls through the relay
     @jax.jit
-    def forward(image1, image2):
-        return model.apply(variables, image1, image2, train=False)["flow_up"][-1]
+    def forward(v, image1, image2):
+        return model.apply(v, image1, image2, train=False)["flow_up"][-1]
 
     # warmup / compile
-    out = forward(img1, img2)
+    out = forward(variables, img1, img2)
     jax.block_until_ready(out)
 
     # --trace <dir>: dump a jax.profiler xplane trace of a few steady-state
@@ -75,7 +84,7 @@ def main():
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
         with jax.profiler.trace(trace_dir):
             for i in range(3):
-                jax.block_until_ready(forward(img1 + (i * 1e-5), img2))
+                jax.block_until_ready(forward(variables, img1 + (i * 1e-5), img2))
         print(f"trace written to {trace_dir}", file=sys.stderr)
 
     # Sustained throughput: vary the input each call (the execution layer
@@ -85,7 +94,7 @@ def main():
     t0 = time.perf_counter()
     outs = []
     for i in range(n):
-        outs.append(forward(img1 + (i * 1e-5), img2))
+        outs.append(forward(variables, img1 + (i * 1e-5), img2))
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 

@@ -67,23 +67,23 @@ class ExtractorConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         ks = self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size)
-        if ks != (1, 1) and self.c_in >= 64:
-            # encoder convs as tap-accumulated MXU matmuls: XLA's batch-1 conv
-            # emitters pick transposed layouts here that also poison every
-            # downstream norm/relu (fnet was 10.2 ms/fwd by profile). The
-            # taps mode avoids the im2col materialization (132 MB per
-            # 3x3@224x512) that sank the plain-im2col attempt.
-            return _MxuConv(
+        if ks == (7, 7) and self.stride == 2 and self.c_in <= 4:
+            # encoder stem: XLA's own space-to-depth conv emitter at batch 1-2
+            # picks interleaved layouts that poison the stem norm/relu and the
+            # first residual stage (~8 ms/fwd by profile). Explicit s2d turns
+            # it into one [M, 4*cin*16] x [., c_out] MXU matmul with row-major
+            # in/out layouts.
+            return _S2DStemConv(
                 features=self.c_out,
-                kernel_size=ks,
-                padding=tuple(_pad_for(self.k_size)),
                 kernel_init=extractor_kernel_init(),
                 bias_init=conv_bias_init(self.c_in, self.k_size),
                 dtype=self.dtype,
-                strides=(self.stride, self.stride),
-                taps=True,
                 name="Conv_0",
             )(x)
+        # NOTE: tap-accumulated and im2col matmul lowerings were both measured
+        # SLOWER than XLA's conv emitter for the wide-channel residual-stage
+        # convs (taps: 9 materialized 29 MB slices + f32 partial-sum chains,
+        # ~12 ms/fwd; im2col: 132 MB cols). Only the stem (above) wins.
         return nn.Conv(
             self.c_out,
             kernel_size=ks,
@@ -182,6 +182,65 @@ class _MxuConv(nn.Module):
             y = jax.lax.optimization_barrier(y)[:, : self.features]
         y = y.astype(self.dtype) + bias.astype(self.dtype)
         return y.reshape(b, h, w, self.features)
+
+
+class _S2DStemConv(nn.Module):
+    """7x7 stride-2 'SAME' conv (pad 3) lowered via explicit space-to-depth.
+
+    Parameters are identical to ``nn.Conv`` ([7,7,cin,cout] kernel + bias);
+    the kernel is zero-padded to 8x8 at apply time and regrouped into a 4x4
+    conv over the 2x2-phase s2d input, which lowers as a single im2col matmul
+    [B*ho*wo, 16*4*cin] @ [16*4*cin, cout] — MXU-shaped, with row-major
+    layouts on both sides (exact: the pad taps multiply zeros)."""
+
+    features: int
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", self.kernel_init, (7, 7, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+
+        ho, wo = (h + 6 - 7) // 2 + 1, (w + 6 - 7) // 2 + 1
+        # s2d rows ri = i + da (da<4) reach ho+2; cover 2*(ho+3) source rows
+        need_h, need_w = 2 * (ho + 4), 2 * (wo + 4)
+        xp = jnp.pad(
+            x.astype(self.dtype),
+            ((0, 0), (3, need_h - h - 3), (3, need_w - w - 3), (0, 0)),
+        )
+        xs = (
+            xp.reshape(b, need_h // 2, 2, need_w // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, need_h // 2, need_w // 2, 4 * cin)
+        )
+        # y[i,j] = sum_{da,db,pa,pb} xs[i+da, j+db, (pa,pb)] k[2da+pa, 2db+pb]
+        cols = jnp.concatenate(
+            [
+                xs[:, da : da + ho, db : db + wo, :]
+                for da in range(4)
+                for db in range(4)
+            ],
+            axis=-1,
+        ).reshape(b * ho * wo, 16 * 4 * cin)
+        k2 = (
+            jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            .reshape(4, 2, 4, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)  # [da, db, pa, pb, cin, cout]
+            .reshape(16 * 4 * cin, self.features)
+        )
+        y = jax.lax.dot_general(
+            cols,
+            k2.astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.astype(self.dtype) + bias.astype(self.dtype)
+        return y.reshape(b, ho, wo, self.features)
 
 
 class _Perm1x1(nn.Module):

@@ -64,10 +64,11 @@ class RAFTConfig:
     position_and_content: bool = False
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for perf)
     corr_dtype: Any = jnp.float32  # correlation volume storage dtype
-    # correlation-lookup backend: "einsum" (XLA one-hot matmuls, ops/corr.py)
-    # or "pallas" (fused slice+roll window kernel, kernels/corr_lookup_v2.py —
-    # bit-exact vs einsum, faster on TPU; interpreted elsewhere)
-    lookup_backend: str = "einsum"
+    # correlation-lookup backend: "auto" picks "pallas" (fused slice+roll
+    # window kernel, kernels/corr_lookup_v2.py — bit-exact vs einsum, ~2.5x
+    # faster on TPU) on a TPU backend and "einsum" (XLA one-hot matmuls,
+    # ops/corr.py) elsewhere, where the pallas kernel would run interpreted
+    lookup_backend: str = "auto"
     # emit corr window channels dy-major and fold the reference's dx-major
     # order into the motion encoder's first 1x1 conv weights (corr_perm) —
     # skips a 7 ms/fwd channel transpose; numerics identical up to fp
@@ -83,13 +84,23 @@ class RAFTConfig:
         return 64 if self.small else 128
 
     def resolved(self) -> "RAFTConfig":
+        backend = self.lookup_backend
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if jax.default_backend() in ("tpu", "axon")
+                else "einsum"
+            )
         if self.small:
             # small model has no convex-upsampling mask head (RAFTArgs raises on
             # the combination, raft/__init__.py:40-42)
             return dataclasses.replace(
-                self, corr_levels=4, corr_radius=3, convex_upsampling=False
+                self, corr_levels=4, corr_radius=3, convex_upsampling=False,
+                lookup_backend=backend,
             )
-        return dataclasses.replace(self, corr_levels=4, corr_radius=4)
+        return dataclasses.replace(
+            self, corr_levels=4, corr_radius=4, lookup_backend=backend
+        )
 
 
 class RAFT(nn.Module):
