@@ -88,15 +88,29 @@ def main():
         print(f"trace written to {trace_dir}", file=sys.stderr)
 
     # Sustained throughput: vary the input each call (the execution layer
-    # memoizes identical launches) and block on EVERY output. n is large enough
-    # to amortize dispatch-pipeline fill.
-    n = 50
+    # memoizes identical launches), pipeline the launches to amortize relay
+    # round-trips, then FETCH every (scalar) output to host —
+    # jax.block_until_ready can return before execution completes through the
+    # relay; a value transfer is the only trustworthy sync.
+    @jax.jit
+    def forward_scalar(v, image1, image2):
+        return jnp.mean(
+            jnp.abs(
+                model.apply(v, image1, image2, train=False)["flow_up"][-1]
+            )
+        )
+
+    s = forward_scalar(variables, img1, img2)
+    _ = np.asarray(s)
+
+    n = 30
     t0 = time.perf_counter()
     outs = []
     for i in range(n):
-        outs.append(forward(variables, img1 + (i * 1e-5), img2))
-    jax.block_until_ready(outs)
+        outs.append(forward_scalar(variables, img1 + (i * 1e-5), img2))
+    vals = [float(o) for o in outs]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in vals)
 
     import signal
 
@@ -114,18 +128,53 @@ def main():
     )
 
 
-if __name__ == "__main__":
-    try:
-        main()
-    except BenchTimeout:
-        print(
-            json.dumps(
-                {
-                    "metric": "flow_pairs_per_sec_per_chip_448x1024_12iters",
-                    "value": 0.0,
-                    "unit": "pairs/sec",
-                    "vs_baseline": 0.0,
-                    "error": "timeout: TPU execution relay unresponsive; retry",
-                }
-            )
+_ERROR_LINE = json.dumps(
+    {
+        "metric": "flow_pairs_per_sec_per_chip_448x1024_12iters",
+        "value": 0.0,
+        "unit": "pairs/sec",
+        "vs_baseline": 0.0,
+        "error": "timeout: TPU execution relay unresponsive; retry",
+    }
+)
+
+
+def _run_with_retries() -> None:
+    """The relay wedges sporadically and a wedged client session cannot
+    recover in-process; run the measurement in a fresh subprocess per attempt
+    so one wedge doesn't record a 0.0 for the whole round."""
+    import subprocess
+
+    last = _ERROR_LINE
+    for attempt in range(3):
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--single"]
+            + sys.argv[1:],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            start_new_session=True,
         )
+        try:
+            out, _ = p.communicate(timeout=420)
+            lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+            if lines:
+                last = lines[-1]
+        except subprocess.TimeoutExpired:
+            p.kill()  # never leave an orphan holding the TPU relay
+            p.wait()
+        if '"error"' not in last:
+            break
+        if attempt < 2:
+            time.sleep(30)
+    print(last)
+
+
+if __name__ == "__main__":
+    if "--single" in sys.argv:
+        try:
+            main()
+        except BenchTimeout:
+            print(_ERROR_LINE)
+    else:
+        _run_with_retries()

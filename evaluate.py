@@ -38,6 +38,11 @@ def main():
                         "(e.g. ckpts/semi/sintel/ckpt-100000-weights); "
                         "ckpt_dir then only provides the config (or pass a "
                         "dot '.' to use defaults)")
+    p.add_argument("--space_parallel", type=int, default=1,
+                   help="shard the image H axis (and the correlation volume's "
+                        "query rows) over this many devices for one forward - "
+                        "multi-chip eval of resolutions that exceed one chip's "
+                        "HBM (parallel/spatial.py)")
     p.add_argument("--precision", default="float32",
                    choices=["float32", "bfloat16"],
                    help="eval compute dtype (fp32 default for parity; the "
@@ -93,7 +98,7 @@ def main():
 
     iters = args.eval_iters or (32 if args.dataset == "sintel" else 24)
     ev = Evaluator(model, variables, iters=iters, use_teacher=args.use_teacher,
-                   pad_bucket=args.pad_bucket)
+                   pad_bucket=args.pad_bucket, space_parallel=args.space_parallel)
 
     results = {}
     if args.dataset == "sintel":

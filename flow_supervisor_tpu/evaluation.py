@@ -60,6 +60,7 @@ class Evaluator:
         iters: int = 24,
         use_teacher: Optional[bool] = None,
         pad_bucket: int = 8,
+        space_parallel: int = 1,
     ):
         self.model = model
         self.variables = variables
@@ -69,19 +70,51 @@ class Evaluator:
             if use_teacher is None
             else use_teacher
         )
+        # space_parallel > 1: shard the image H axis (and with it the corr
+        # volume's query rows) over a space-axis mesh (parallel/spatial.py) —
+        # multi-chip single-pair eval for resolutions whose volume exceeds one
+        # chip's HBM. Padding must align H to 8*space.
+        self.space_parallel = space_parallel
+        if space_parallel > 1:
+            import dataclasses as _dc
+
+            from flow_supervisor_tpu.parallel.mesh import SPACE_AXIS
+            from flow_supervisor_tpu.parallel.spatial import make_space_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = make_space_mesh(space_parallel)
+            if getattr(model.cfg, "lookup_backend", "einsum") != "einsum":
+                # the pallas kernel would need a shard_map wrapper; the einsum
+                # lookup shards transparently under XLA SPMD
+                model = type(model)(
+                    _dc.replace(model.cfg, lookup_backend="einsum")
+                )
+                self.model = model
+            img_sh = NamedSharding(mesh, P(None, SPACE_AXIS, None, None))
+            repl = NamedSharding(mesh, P())
+            pad_bucket = max(pad_bucket, 8 * space_parallel)
+
+            def _shard(t):
+                return jax.lax.with_sharding_constraint(t, img_sh)
+
+            def _gather(t):
+                return jax.lax.with_sharding_constraint(t, repl)
+        else:
+            _shard = _gather = lambda t: t
+        self._shard, self._gather = _shard, _gather
         self.pad_bucket = pad_bucket
 
         @functools.partial(jax.jit, static_argnames=("with_init",))
         def forward(variables, image1, image2, flow_init, with_init):
             out = model.apply(
                 variables,
-                image1,
-                image2,
+                _shard(image1),
+                _shard(image2),
                 flow_init=flow_init if with_init else None,
                 train=False,
                 iters=self.iters,
             )
-            return out["flow_up"][-1], out["flow_low"][-1]
+            return _gather(out["flow_up"][-1]), _gather(out["flow_low"][-1])
 
         self._forward = forward
 
@@ -89,6 +122,7 @@ class Evaluator:
 
             @functools.partial(jax.jit, static_argnames=("with_init",))
             def teacher_forward(variables, image1, image2, flow_init, with_init):
+                image1, image2 = _shard(image1), _shard(image2)
                 b, h, w, _ = image1.shape
                 from flow_supervisor_tpu.ops.coords import coords_grid, downsample_shape
 
@@ -109,7 +143,8 @@ class Evaluator:
                     )
                     return stu_up[-1], tea_up[-1], stu_low[-1]
 
-                return model.apply(variables, method=run)
+                outs = model.apply(variables, method=run)
+                return tuple(_gather(o) for o in outs)
 
             self._teacher_forward = teacher_forward
 
