@@ -111,3 +111,18 @@ def run_dryrun(n_devices: int) -> None:
             f"dryrun_multichip pod mesh ok: (dcn=2, ici={n_devices // 2}), "
             + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(plog.items()))
         )
+
+    # Space-axis sharded eval forward (parallel/spatial.py): one image pair's
+    # H axis — and with it the correlation volume's query rows — split across
+    # all devices, vs the single-device oracle.
+    from flow_supervisor_tpu.parallel.spatial import make_space_mesh, spatial_forward
+
+    emodel = RAFT(RAFTConfig(iters=2, lookup_backend="einsum").resolved())
+    eh, ew = 8 * n_devices * 2, 48
+    ei1, ei2 = img((1, eh, ew, 3)), img((1, eh, ew, 3))
+    evars = emodel.init(jax.random.PRNGKey(1), ei1, ei2, train=False)
+    ref = emodel.apply(evars, ei1, ei2, train=False)["flow_up"][-1]
+    got = spatial_forward(emodel, make_space_mesh(n_devices))(evars, ei1, ei2)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 2e-4, f"space-sharded forward mismatch: {err}"
+    print(f"dryrun_multichip space mesh ok: {n_devices}-way H shard, max|d|={err:.2e}")
