@@ -86,26 +86,30 @@ def main():
                 jax.block_until_ready(forward(variables, img1 + (i * 1e-5), img2))
         print(f"trace written to {trace_dir}", file=sys.stderr)
 
-    # Sustained throughput: n forwards chained and UNROLLED inside one jitted
+    # Sustained throughput: UNROLL×TRIPS chained forwards inside one jitted
     # program (forward i+1's input depends on forward i's scalar output, so
     # nothing can be deduped, skipped, or reordered), one launch, ONE scalar
     # host fetch. Protocols measured and rejected on this relay:
     # per-launch block_until_ready (returns before execution — reported 6x
     # device speed), python-level chains (each link resolves with a full
-    # round-trip), lax.fori_loop (XLA pessimizes the loop body ~40% with
-    # extra copies). The flat unrolled chain costs one long compile (cached)
-    # and amortizes the single honest round-trip over n forwards.
-    n = 8
+    # round-trip), plain fori_loop (XLA pessimizes the loop body ~40% with
+    # extra copies), full 8x unroll (compile exceeds the relay's patience).
+    # 4 unrolled forwards per loop trip amortize the loop-body overhead while
+    # keeping the compile tractable; the single honest round-trip is <2%.
+    unroll, trips = 4, 8
+    n = unroll * trips
 
     @jax.jit
     def chained(v, image1, image2, s0):
-        s = s0
-        for _ in range(n):
-            out = model.apply(
-                v, image1 + s * 1e-9, image2, train=False
-            )["flow_up"][-1]
-            s = jnp.mean(jnp.abs(out))
-        return s
+        def body(i, s):
+            for _ in range(unroll):
+                out = model.apply(
+                    v, image1 + s * 1e-9, image2, train=False
+                )["flow_up"][-1]
+                s = jnp.mean(jnp.abs(out))
+            return s
+
+        return jax.lax.fori_loop(0, trips, body, s0)
 
     warm = chained(variables, img1, img2, jnp.float32(0))  # compile + warm
     assert np.isfinite(float(warm))

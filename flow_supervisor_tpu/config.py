@@ -91,6 +91,9 @@ class TrainCfg:
     # slice (flat data mesh). >1 builds a (dcn, ici) mesh; batch shards over
     # both axes and the gradient all-reduce goes ICI-first (parallel/mesh.py).
     dcn_parallel: int = 1
+    # data-loader worker processes per stream (0/1 = in-process; the serial
+    # loader decodes+augments slower than the train step at recipe shapes)
+    loader_workers: int = 4
     log_every: int = 100
 
 

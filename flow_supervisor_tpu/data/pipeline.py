@@ -72,16 +72,75 @@ def _stack(dicts: list[dict]) -> dict:
     return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
 
+# ---- multi-worker example engine ------------------------------------------
+# The reference rode tf.data's C++ thread pool (num_parallel_calls); a single
+# Python thread decodes+augments ~1 batch/sec at the semi recipe shapes —
+# slower than the train step, i.e. the loader becomes the bottleneck. A
+# THREAD pool parallelizes decode+augment: cv2 and the large numpy ops
+# release the GIL, and threads avoid the ~20 MB/example pickle IPC that made
+# a process pool 3x SLOWER than serial. The parent assembles batches in
+# deterministic order with per-example seeds drawn from the pipeline RNG.
+
+
+def _iter_batches(pipe, workers: int) -> Iterator[dict]:
+    """Infinite batch stream over ``pipe.records`` via ``pipe._example_rng``.
+
+    workers <= 1: in-process serial. workers > 1: a thread pool with a
+    bounded in-flight window (Pool.imap's feeder would consume an infinite
+    job generator unboundedly). Epoch order and per-example seeds always come
+    from ``pipe.rng``, so the record sequence is reproducible for any worker
+    count (the augmentation stream differs from the serial path only in that
+    each example gets its own seeded generator)."""
+
+    def jobs():
+        while True:
+            for idx in pipe.rng.permutation(len(pipe.records)):
+                yield int(idx), int(pipe.rng.integers(0, 2**63))
+
+    def make_example(job):
+        idx, seed = job
+        return pipe._example_rng(pipe.records[idx], np.random.default_rng(seed))
+
+    if workers <= 1:
+        batch = []
+        for job in jobs():
+            batch.append(make_example(job))
+            if len(batch) == pipe.batch_size:
+                yield _stack(batch)
+                batch = []
+        return
+
+    import collections
+    from multiprocessing.pool import ThreadPool
+
+    pool = ThreadPool(workers)
+    try:
+        job_iter = jobs()
+        inflight: collections.deque = collections.deque()
+        batch = []
+        while True:
+            while len(inflight) < workers * 2:
+                inflight.append(pool.apply_async(make_example, (next(job_iter),)))
+            batch.append(inflight.popleft().get())
+            if len(batch) == pipe.batch_size:
+                yield _stack(batch)
+                batch = []
+    finally:
+        pool.terminate()
+        pool.join()
+
+
 class SupervisedPipeline:
     """Labeled stream -> {'image1','image2','flow','valid'} batches."""
 
     def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
                  batch_size, seed=1234, augment=True, do_rotation=False,
-                 max_rotation=10.0):
+                 max_rotation=10.0, workers=0):
         assert records, "empty dataset"
         self.records = list(records)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self.workers = workers
         self.augment = augment
         self.dense_aug = FlowAugmentor(
             crop_size, min_scale, max_scale, do_flip,
@@ -92,16 +151,16 @@ class SupervisedPipeline:
             do_rotation=do_rotation, max_rotation=max_rotation,
         )
 
-    def _example(self, record) -> dict:
+    def _example_rng(self, record, rng) -> dict:
         img1, img2, flow, valid = load_record(record)
         if not self.augment:
             return {"image1": img1, "image2": img2, "flow": flow, "valid": valid}
         # runtime dense/sparse dispatch mirrors flow_dataset.py:119-143: dense
         # when the valid mask is everywhere positive.
         if record.sparse or not (valid > 0.5).all():
-            img1, img2, flow, valid = self.sparse_aug(img1, img2, flow, valid, self.rng)
+            img1, img2, flow, valid = self.sparse_aug(img1, img2, flow, valid, rng)
         else:
-            img1, img2, flow = self.dense_aug(img1, img2, flow, self.rng)
+            img1, img2, flow = self.dense_aug(img1, img2, flow, rng)
             valid = np.ones(flow.shape[:2] + (1,), np.float32)
         return {
             "image1": img1.astype(np.float32),
@@ -111,14 +170,7 @@ class SupervisedPipeline:
         }
 
     def __iter__(self) -> Iterator[dict]:
-        while True:
-            order = self.rng.permutation(len(self.records))
-            batch = []
-            for idx in order:
-                batch.append(self._example(self.records[idx]))
-                if len(batch) == self.batch_size:
-                    yield _stack(batch)
-                    batch = []
+        return _iter_batches(self, self.workers)
 
 
 class UnsupPipeline:
@@ -126,29 +178,23 @@ class UnsupPipeline:
 
     def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
                  batch_size, full_size, seed=1234, do_rotation=False,
-                 max_rotation=10.0):
+                 max_rotation=10.0, workers=0):
         assert records, "empty dataset"
         self.records = list(records)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self.workers = workers
         self.aug = UnsupAugmentor(
             crop_size, min_scale, max_scale, do_flip, full_size=full_size,
             do_rotation=do_rotation, max_rotation=max_rotation,
         )
 
-    def _example(self, record) -> dict:
+    def _example_rng(self, record, rng) -> dict:
         img1, img2, flow, valid = load_record(record)
-        return self.aug(img1, img2, flow, valid, self.rng)
+        return self.aug(img1, img2, flow, valid, rng)
 
     def __iter__(self) -> Iterator[dict]:
-        while True:
-            order = self.rng.permutation(len(self.records))
-            batch = []
-            for idx in order:
-                batch.append(self._example(self.records[idx]))
-                if len(batch) == self.batch_size:
-                    yield _stack(batch)
-                    batch = []
+        return _iter_batches(self, self.workers)
 
 
 class MultiFramePipeline:
@@ -158,16 +204,17 @@ class MultiFramePipeline:
     (flow_i, flow_i+1) pair."""
 
     def __init__(self, records, crop_size, min_scale, max_scale, do_flip,
-                 batch_size, seed=1234):
+                 batch_size, seed=1234, workers=0):
         assert records, "empty dataset"
         from flow_supervisor_tpu.data.augment import MultiFrameAugmentor
 
         self.records = list(records)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+        self.workers = workers
         self.aug = MultiFrameAugmentor(crop_size, min_scale, max_scale, do_flip)
 
-    def _example(self, record) -> dict:
+    def _example_rng(self, record, rng) -> dict:
         imgs = [read_image(p) for p in record.images]
         assert len(imgs) == 3, "multiframe records need 3 frames"
         h, w = imgs[0].shape[:2]
@@ -195,17 +242,10 @@ class MultiFramePipeline:
                 if v2 is None
                 else v2.reshape(v2.shape[:2] + (1,)).astype(np.float32)
             )
-        return self.aug(*imgs, flow1, valid1, flow2, valid2, self.rng)
+        return self.aug(*imgs, flow1, valid1, flow2, valid2, rng)
 
     def __iter__(self) -> Iterator[dict]:
-        while True:
-            order = self.rng.permutation(len(self.records))
-            batch = []
-            for idx in order:
-                batch.append(self._example(self.records[idx]))
-                if len(batch) == self.batch_size:
-                    yield _stack(batch)
-                    batch = []
+        return _iter_batches(self, self.workers)
 
 
 def semi_zip(unsup_iter, sup_iter) -> Iterator[tuple[dict, dict]]:
@@ -215,22 +255,48 @@ def semi_zip(unsup_iter, sup_iter) -> Iterator[tuple[dict, dict]]:
 
 
 class Prefetcher:
-    """Background-thread prefetch of an iterator (tf.data prefetch equivalent)."""
+    """Background-thread prefetch of an iterator (tf.data prefetch equivalent).
+
+    The producer checks a stop flag between bounded puts so interpreter
+    teardown never aborts inside a blocking queue op ("terminate called
+    without an active exception")."""
 
     def __init__(self, it: Iterator, depth: int = 4):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def run():
             try:
                 for item in it:
-                    self.q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self.q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on next()
                 self._err = e
-                self.q.put(None)
+                try:
+                    self.q.put(None, timeout=0.25)
+                except queue.Full:
+                    pass
 
         self.t = threading.Thread(target=run, daemon=True)
         self.t.start()
+        import atexit
+
+        atexit.register(self.close)
+
+    def close(self):
+        self._stop.set()
+        try:  # unblock a producer stuck on a full queue
+            self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.t.join(timeout=2.0)
 
     def __iter__(self):
         return self
@@ -363,6 +429,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
     """
     seed = train_cfg.seed if seed is None else seed
     stage = train_cfg.stage
+    workers = getattr(train_cfg, "loader_workers", 0)
     rot = dict(
         do_rotation=getattr(train_cfg, "do_rotation", False),
         max_rotation=getattr(train_cfg, "max_rotation", 10.0),
@@ -374,6 +441,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             train_cfg.image_size,
             batch_size=train_cfg.batch_size,
             seed=seed,
+            workers=workers,
             **aug,
         )
         return Prefetcher(iter(pipe))
@@ -387,6 +455,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             batch_size=train_cfg.batch_size,
             full_size=train_cfg.full_size,
             seed=seed,
+            workers=workers,
             **sup_aug,
             **rot,
         )
@@ -396,6 +465,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             batch_size=train_cfg.batch_size,
             full_size=train_cfg.full_size,
             seed=seed + 1,
+            workers=workers,
             **unsup_aug,
             **rot,
         )
@@ -406,6 +476,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
         train_cfg.image_size,
         batch_size=train_cfg.batch_size,
         seed=seed,
+        workers=workers,
         **aug,
         **rot,
     )
