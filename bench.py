@@ -86,30 +86,28 @@ def main():
                 jax.block_until_ready(forward(variables, img1 + (i * 1e-5), img2))
         print(f"trace written to {trace_dir}", file=sys.stderr)
 
-    # Sustained throughput: UNROLL×TRIPS chained forwards inside one jitted
-    # program (forward i+1's input depends on forward i's scalar output, so
-    # nothing can be deduped, skipped, or reordered), one launch, ONE scalar
-    # host fetch. Protocols measured and rejected on this relay:
-    # per-launch block_until_ready (returns before execution — reported 6x
-    # device speed), python-level chains (each link resolves with a full
-    # round-trip), plain fori_loop (XLA pessimizes the loop body ~40% with
-    # extra copies), full 8x unroll (compile exceeds the relay's patience).
-    # 4 unrolled forwards per loop trip amortize the loop-body overhead while
-    # keeping the compile tractable; the single honest round-trip is <2%.
-    unroll, trips = 4, 8
-    n = unroll * trips
+    # Sustained throughput: n chained forwards inside one jitted fori_loop
+    # (trip i+1's input depends on trip i's scalar output, so nothing can be
+    # deduped, skipped, or reordered), one launch, ONE scalar host fetch.
+    # Protocols measured and rejected on this relay: per-launch
+    # block_until_ready (returns before execution — reported 6x device
+    # speed), python-level chains (each link resolves with a full
+    # round-trip), 4x/8x unrolled bodies (no faster, and the 8x compile
+    # exceeds the relay's patience). The loop body carries some XLA copy
+    # overhead vs the standalone program (device-time traces show ~26-28
+    # pairs/sec), so this number is a conservative lower bound with the one
+    # honest round-trip amortized to <2%.
+    n = 30
 
     @jax.jit
     def chained(v, image1, image2, s0):
         def body(i, s):
-            for _ in range(unroll):
-                out = model.apply(
-                    v, image1 + s * 1e-9, image2, train=False
-                )["flow_up"][-1]
-                s = jnp.mean(jnp.abs(out))
-            return s
+            out = model.apply(
+                v, image1 + s * 1e-9, image2, train=False
+            )["flow_up"][-1]
+            return jnp.mean(jnp.abs(out))
 
-        return jax.lax.fori_loop(0, trips, body, s0)
+        return jax.lax.fori_loop(0, n, body, s0)
 
     warm = chained(variables, img1, img2, jnp.float32(0))  # compile + warm
     assert np.isfinite(float(warm))

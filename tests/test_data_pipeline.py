@@ -51,6 +51,30 @@ def test_color_jitter_bounds():
     assert out.shape == img.shape and np.isfinite(out).all()
 
 
+def test_color_jitter_matches_numpy_hsv_oracle():
+    # the production path rides cv2's SIMD HSV; the numpy formulation is the
+    # readable oracle it must match
+    from flow_supervisor_tpu.data.augment import _hsv_to_rgb, _rgb_to_hsv
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+    cj = ColorJitter(0.4, 0.4, 0.4, 0.16)
+    got = cj(img, np.random.default_rng(7))
+
+    r = np.random.default_rng(7)
+    b = r.uniform(0.6, 1.4)
+    c = r.uniform(0.6, 1.4)
+    mean = img.reshape(-1, 3).mean(axis=0)
+    im = img * np.float32(b * c) + (mean * (b * (1.0 - c))).astype(np.float32)
+    s = r.uniform(0.6, 1.4)
+    d = r.uniform(-0.16, 0.16)
+    hsv = _rgb_to_hsv(np.clip(im, 0, 1))
+    hsv[..., 1] = np.clip(hsv[..., 1] * s, 0, 1)
+    hsv[..., 0] = (hsv[..., 0] + d) % 1.0
+    ref = _hsv_to_rgb(hsv)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
 def test_dense_augmentor_output_shapes():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (100, 120, 3)).astype(np.float32)

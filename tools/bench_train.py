@@ -31,9 +31,15 @@ def main():
     full_hw = (192, 320) if small else (432, 1024)
     iters = 4 if small else 12
 
+    backend = (
+        sys.argv[sys.argv.index("--backend") + 1]
+        if "--backend" in sys.argv
+        else "auto"
+    )
     cfg = RAFTConfig(
         iters=iters, teacher=True, teacher_iters=iters, freeze_bn=True,
         dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16, update_ckpt=True,
+        lookup_backend=backend,
     ).resolved()
     model = RAFT(cfg)
     mc = ModelCfg(teacher_iters=iters, lfr_loss_type="robust")
