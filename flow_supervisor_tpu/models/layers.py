@@ -337,14 +337,21 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     negligible at activation scales, and the torch golden-parity tests
     (<2e-3 px) pin it.
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    sqmean = jnp.mean(
-        jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True
+    b, h, w, c = x.shape
+    x32 = x.astype(jnp.float32)
+    # ONE variadic reduce for (sum, sum_sq): separate jnp.mean calls made XLA
+    # materialize full-size f32 x and x^2 (multi-consumer fusion outputs,
+    # ~119 MB at stem shapes) before reducing
+    s1, s2 = jax.lax.reduce(
+        (x32, x32 * x32),
+        (jnp.float32(0), jnp.float32(0)),
+        lambda a, b_: (a[0] + b_[0], a[1] + b_[1]),
+        dimensions=(1, 2),
     )
-    var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
-    return ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)).astype(
-        x.dtype
-    )
+    denom = jnp.float32(h * w)
+    mean = (s1 / denom)[:, None, None, :]
+    var = jnp.maximum(s2[:, None, None, :] / denom - jnp.square(mean), 0.0)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class Norm(nn.Module):
