@@ -14,8 +14,10 @@ data/flow_dataset.py:360-391).
 """
 from __future__ import annotations
 
+import atexit
 import queue
 import threading
+import weakref
 from typing import Iterator, Optional
 
 import numpy as np
@@ -254,6 +256,20 @@ def semi_zip(unsup_iter, sup_iter) -> Iterator[tuple[dict, dict]]:
         yield sup_batch, unsup_batch
 
 
+# One module-level atexit hook over a WeakSet: prefetchers (and their queued
+# batches) become collectible as soon as callers drop them, instead of being
+# pinned for the life of the process by per-instance atexit registrations.
+_live_prefetchers: "weakref.WeakSet[Prefetcher]" = weakref.WeakSet()
+
+
+def _close_live_prefetchers() -> None:
+    for p in list(_live_prefetchers):
+        p.close()
+
+
+atexit.register(_close_live_prefetchers)
+
+
 class Prefetcher:
     """Background-thread prefetch of an iterator (tf.data prefetch equivalent).
 
@@ -286,11 +302,11 @@ class Prefetcher:
 
         self.t = threading.Thread(target=run, daemon=True)
         self.t.start()
-        import atexit
-
-        atexit.register(self.close)
+        _live_prefetchers.add(self)
 
     def close(self):
+        """Terminal-only shutdown (drops one queued batch to unblock the
+        producer); do not reuse the iterator after calling this."""
         self._stop.set()
         try:  # unblock a producer stuck on a full queue
             self.q.get_nowait()

@@ -48,15 +48,28 @@ def make_pod_mesh(dcn: int, ici: Optional[int] = None) -> Mesh:
         ici = len(devices) // dcn
     n = dcn * ici
     assert len(devices) >= n, (len(devices), n)
+    arr = _hybrid_mesh_array(devices[:n], dcn, ici)
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+
+
+def _hybrid_mesh_array(devices, dcn: int, ici: int) -> np.ndarray:
+    """[dcn, ici] device array; ICI axis maps to physically-linked chips on
+    real multi-slice hardware, plain reshape otherwise.
+
+    ``create_hybrid_device_mesh`` returns shape ``mesh_shape * dcn_mesh_shape``
+    elementwise, so the per-slice mesh must be (1, ici) and the cross-slice
+    mesh (dcn, 1) to land on (dcn, ici)."""
     try:
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (ici,), (dcn,), devices=devices[:n]
-        )  # [dcn, ici]
+        arr = np.asarray(
+            mesh_utils.create_hybrid_device_mesh(
+                (1, ici), (dcn, 1), devices=devices
+            )
+        ).reshape(dcn, ici)
     except Exception:
-        arr = np.asarray(devices[:n]).reshape(dcn, ici)
-    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+        arr = np.asarray(devices).reshape(dcn, ici)
+    return arr
 
 
 def is_pod_mesh(mesh: Mesh) -> bool:

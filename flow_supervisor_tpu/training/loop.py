@@ -157,6 +157,13 @@ def train(
 
     if cfg.train.dcn_parallel > 1:
         mesh = make_pod_mesh(cfg.train.dcn_parallel)
+        n_mesh = int(np.prod(mesh.devices.shape))
+        assert cfg.train.batch_size % n_mesh == 0, (
+            f"batch_size={cfg.train.batch_size} must divide evenly over the "
+            f"pod mesh ({mesh.devices.shape[0]} dcn x {mesh.devices.shape[1]} "
+            f"ici = {n_mesh} devices); pick a batch that is a multiple of the "
+            f"device count or lower --dcn_parallel"
+        )
     else:
         mesh = make_mesh(
             auto_data_parallel(cfg.train.batch_size, cfg.train.data_parallel)
