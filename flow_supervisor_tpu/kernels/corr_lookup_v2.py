@@ -219,47 +219,40 @@ def _lookup_impl(planes, shapes, radius, coords, interpret=None, dy_major=False)
     return jnp.concatenate(outs, axis=-1)
 
 
-def _oracle_lookup(planes, shapes, radius, coords):
-    """The einsum oracle evaluated on the unpadded volumes recovered from the
-    planes — used only to derive the backward pass."""
-    from flow_supervisor_tpu.ops.corr import corr_pyramid_lookup
-
-    b, h1, w1, _ = coords.shape
-    vols = [
-        p[:, :h2, :w2].reshape(b, h1, w1, h2, w2)
-        for p, (h2, w2) in zip(planes, shapes)
-    ]
-    return corr_pyramid_lookup(vols, coords, radius)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4))
 def _lookup(planes, shapes, radius, coords, dy_major=False):
     return _lookup_impl(planes, shapes, radius, coords, dy_major=dy_major)
 
 
 def _lookup_fwd(planes, shapes, radius, coords, dy_major):
+    # residuals: coords plus zero-size dtype tokens for the planes — nothing
+    # plane-sized is kept alive for the backward, and (unlike the round-2
+    # VJP) nothing of the forward is ever re-run.
+    dtype_tokens = tuple(jnp.zeros((0,), p.dtype) for p in planes)
     return (
         _lookup_impl(planes, shapes, radius, coords, dy_major=dy_major),
-        (planes, coords),
+        (coords, dtype_tokens),
     )
 
 
 def _lookup_bwd(shapes, radius, dy_major, res, g):
-    planes, coords = res
-    if dy_major:
-        # oracle emits dx-major; reorder the cotangent to match
-        b, h1, w1, c = g.shape
-        k = 2 * radius + 1
-        g = (
-            g.reshape(b, h1, w1, len(shapes), k, k)
-            .swapaxes(-1, -2)
-            .reshape(b, h1, w1, c)
+    """Closed-form transposed lookup (shared with corr_fused): shifted pads +
+    one-hot MXU scatters give d(plane) directly from (g, coords); coords are
+    stop-gradient at every call site (reference detaches coords before lookup,
+    raft/__init__.py:155) so their grad is zero."""
+    from flow_supervisor_tpu.kernels.corr_fused import lookup_vjp_dvols
+
+    coords, dtype_tokens = res
+    d_vols = lookup_vjp_dvols(g, coords, shapes, radius, dy_major)
+    d_planes = []
+    for (h2, w2), dv, tok in zip(shapes, d_vols, dtype_tokens):
+        bq = dv.shape[0] * dv.shape[1]
+        hp = plane_height(h2)
+        d_planes.append(
+            jnp.pad(
+                dv.reshape(bq, h2, w2), ((0, 0), (0, hp - h2), (0, 0))
+            ).astype(tok.dtype)
         )
-    # d(planes) via the oracle's autodiff (transposed one-hot scatter on the
-    # MXU); coords are stop-gradient at every call site (reference detaches
-    # coords before lookup, raft/__init__.py:155) so their grad is zero.
-    _, vjp = jax.vjp(lambda ps: _oracle_lookup(ps, shapes, radius, coords), planes)
-    (d_planes,) = vjp(g)
     return d_planes, jnp.zeros_like(coords)
 
 

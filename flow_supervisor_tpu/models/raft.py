@@ -64,10 +64,13 @@ class RAFTConfig:
     position_and_content: bool = False
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for perf)
     corr_dtype: Any = jnp.float32  # correlation volume storage dtype
-    # correlation-lookup backend: "auto" picks "pallas" (fused slice+roll
-    # window kernel, kernels/corr_lookup_v2.py — bit-exact vs einsum, ~2.5x
-    # faster on TPU) on a TPU backend and "einsum" (XLA one-hot matmuls,
-    # ops/corr.py) elsewhere, where the pallas kernel would run interpreted
+    # correlation-lookup backend: "auto" picks "fused" (volume-free Pallas
+    # kernel, kernels/corr_fused.py — recomputes correlation slabs in VMEM
+    # from the fmap factors, alt_cuda_corr parity: nothing volume-sized ever
+    # touches HBM) on a TPU backend and "einsum" (XLA one-hot matmuls,
+    # ops/corr.py) elsewhere, where a Pallas kernel would run interpreted.
+    # "pallas" selects the materialized-plane slice+roll kernel
+    # (kernels/corr_lookup_v2.py), kept for A/B and HBM-rich shapes.
     lookup_backend: str = "auto"
     # emit corr window channels dy-major and fold the reference's dx-major
     # order into the motion encoder's first 1x1 conv weights (corr_perm) —
@@ -87,7 +90,7 @@ class RAFTConfig:
         backend = self.lookup_backend
         if backend == "auto":
             backend = (
-                "pallas"
+                "fused"
                 if jax.default_backend() in ("tpu", "axon")
                 else "einsum"
             )
@@ -228,6 +231,15 @@ class RAFT(nn.Module):
                     corr_pyramid, coords1, mdl.cfg.corr_radius,
                     dy_major=mdl.cfg.dy_major_corr,
                 )
+            elif mdl.cfg.lookup_backend == "fused":
+                from flow_supervisor_tpu.kernels.corr_fused import (
+                    corr_pyramid_lookup_fused,
+                )
+
+                corr = corr_pyramid_lookup_fused(
+                    corr_pyramid, coords1, mdl.cfg.corr_radius,
+                    dy_major=mdl.cfg.dy_major_corr,
+                )
             else:
                 corr = corr_pyramid_lookup(
                     corr_pyramid, coords1, mdl.cfg.corr_radius,
@@ -294,6 +306,17 @@ class RAFT(nn.Module):
                 self.cfg.corr_levels,
                 self.cfg.corr_radius,
                 self.cfg.corr_dtype,
+            )
+        if self.cfg.lookup_backend == "fused":
+            from flow_supervisor_tpu.kernels.corr_fused import (
+                build_fused_pyramid,
+            )
+
+            return build_fused_pyramid(
+                fmap1.astype(self.cfg.dtype),
+                fmap2.astype(self.cfg.dtype),
+                self.cfg.corr_levels,
+                self.cfg.corr_radius,
             )
         from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
 

@@ -72,11 +72,16 @@ def test_vjp_matches_oracle(setup):
         return jnp.vdot(out, g)
 
     def oracle(planes):
-        out = v2._oracle_lookup(list(planes), pyr.shapes, R, coords)
+        vols_ = [
+            p[:, :h2, :w2].reshape(1, 16, 24, h2, w2)
+            for p, (h2, w2) in zip(planes, pyr.shapes)
+        ]
+        out = corr_pyramid_lookup(vols_, coords, R)
         return jnp.vdot(out, g)
 
     d_oracle = jax.grad(oracle)(list(pyr.planes))
-    # the custom vjp delegates to the oracle's autodiff; check wiring end-to-end
+    # the custom vjp is closed-form (corr_fused.lookup_vjp_dvols) — check it
+    # against the oracle's autodiff end-to-end
     d_ours = jax.grad(ours)(list(pyr.planes))
     for a, b in zip(d_ours, d_oracle):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
