@@ -9,6 +9,13 @@ here, before any backend is initialized.
 import os
 import sys
 
+# legacy-Keras shim BEFORE any tensorflow import: the TF-golden test drives
+# the reference's Keras-2-era subclassed model (tests/test_tf_golden.py).
+# oneDNN's Softmax kernel rejects the reference's 6-D convex-upsampling mask
+# (upsample.py:23-24, "Input dims must be <= 5"); the eigen kernel takes it.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
