@@ -76,6 +76,15 @@ class TrainCfg:
     num_steps: int = 100000
     val_step: int = 5000
     val_max_records: int = 0  # cap records per standing-validation set (0 = all)
+    # standing-validation policy: the reference validates with the same engine
+    # used for final eval (util/validate.py:17-132), whose iters policy is
+    # 32 sintel / 24 otherwise (evaluate.py:166-174). 0 = that auto policy;
+    # >0 = fixed override. Deliberately NOT the train iters.
+    val_iters: int = 0
+    val_warm_start: bool = False  # warm-start within scenes during validation
+    # pad bucket for sparse (KITTI) validation sets: rounds padded eval shapes
+    # up so KITTI's several native sizes share jit entries (evaluation.py)
+    val_pad_bucket: int = 64
     skip_validation_at_start: bool = False  # reference train.py:38
     freeze_bn: bool = False
     loss_type: str = "robust"
@@ -95,6 +104,11 @@ class TrainCfg:
     # loader decodes+augments slower than the train step at recipe shapes)
     loader_workers: int = 4
     log_every: int = 100
+    # profiler: dump a jax.profiler xplane trace of a few steady-state train
+    # steps into this dir (SURVEY.md §5 observability; bench.py --trace is the
+    # forward-only twin). Empty = off.
+    trace_dir: str = ""
+    trace_steps: int = 3
 
 
 @dataclasses.dataclass

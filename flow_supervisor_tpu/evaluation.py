@@ -249,13 +249,36 @@ def standing_validation_sets(stage: str, max_records: int = 0):
     return sets
 
 
+def eval_iters_policy(dataset_name: str, override: int = 0) -> int:
+    """The eval CLI's refinement-iters policy (reference evaluate.py:166-174):
+    32 for Sintel, 24 otherwise, explicit override wins."""
+    if override:
+        return override
+    return 32 if dataset_name.startswith("sintel") else 24
+
+
 def make_train_validator(cfg, model):
     """validate_fn(step, state) -> metrics dict for the training loop, or None
-    when no validation dataset is available (reference train.py:211-217)."""
+    when no validation dataset is available (reference train.py:211-217).
+
+    Validation runs at the EVAL iters policy (32 sintel / 24 otherwise,
+    reference evaluate.py:166-174 — the same engine/policy as final eval, so
+    training val curves are comparable to reference eval numbers), not at the
+    train iters; ``cfg.train.val_iters`` overrides. Sparse (KITTI) sets get
+    ``cfg.train.val_pad_bucket`` to bound the jit cache over KITTI's several
+    native sizes, and ``cfg.train.val_warm_start`` chains flow within scenes
+    (reference util/validate.py:141-148)."""
     sets = standing_validation_sets(cfg.train.stage, cfg.train.val_max_records)
     if not sets:
         return None
-    ev = Evaluator(model, None, iters=cfg.model.iters)
+    evaluators = {}
+    for name, _recs, sparse in sets:
+        evaluators[name] = Evaluator(
+            model,
+            None,
+            iters=eval_iters_policy(name, cfg.train.val_iters),
+            pad_bucket=cfg.train.val_pad_bucket if sparse else 8,
+        )
 
     def validate_fn(step: int, state) -> dict[str, float]:
         variables = {
@@ -264,8 +287,14 @@ def make_train_validator(cfg, model):
         }
         out = {}
         for name, recs, sparse in sets:
-            r = ev.evaluate(recs, sparse=sparse, variables=variables)
+            r = evaluators[name].evaluate(
+                recs,
+                sparse=sparse,
+                warm_start=cfg.train.val_warm_start,
+                variables=variables,
+            )
             out.update({f"{name}_{k}": v for k, v in r.items()})
         return out
 
+    validate_fn.evaluators = evaluators
     return validate_fn

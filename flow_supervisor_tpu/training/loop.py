@@ -198,11 +198,25 @@ def train(
     total = cfg.train.num_steps if max_steps is None else max_steps
     last_log_time = time.time()
     steps_since_log = 0
+    # --trace_dir: xplane trace of trace_steps steady-state steps, started
+    # after 2 warmup steps so compiles don't pollute the timeline
+    trace_start = start_step + 2 if cfg.train.trace_dir else -1
+    trace_stop = trace_start + cfg.train.trace_steps
+    tracing = False
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
         if start_step == 0 and not cfg.train.skip_validation_at_start:
             run_validation(0, state)
         for step_i in range(start_step, total):
+            if step_i == trace_start:
+                jax.block_until_ready(state.params)
+                jax.profiler.start_trace(cfg.train.trace_dir)
+                tracing = True
+            elif step_i == trace_stop and tracing:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"trace written to {cfg.train.trace_dir}")
             batch = next(data_iter)
             if is_semi:
                 sup_b, unsup_b = batch
@@ -231,6 +245,10 @@ def train(
                     state.opt_state,
                 )
                 run_validation(step_i + 1, state)
+        if tracing:  # run ended inside the trace window
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            print(f"trace written to {cfg.train.trace_dir}")
     logger.close()
     return state
 

@@ -121,8 +121,20 @@ def test_make_train_validator_runs(tmp_path, monkeypatch, model_and_vars):
         model, variables = model_and_vars
         cfg = ExperimentConfig(train=TrainCfg(stage="sintel", val_max_records=1))
         cfg.model.iters = 2
+        # default policy: standing validation runs at the EVAL iters policy
+        # (32 sintel / 24 otherwise, reference evaluate.py:166-174), NOT the
+        # train iters
+        policy_fn = make_train_validator(cfg, model)
+        assert policy_fn is not None
+        for name, ev in policy_fn.evaluators.items():
+            assert ev.iters != cfg.model.iters
+            assert ev.iters == (32 if name.startswith("sintel") else 24)
+
+        # explicit override (kept small so the test actually runs the engine)
+        cfg.train.val_iters = 2
         val_fn = make_train_validator(cfg, model)
         assert val_fn is not None
+        assert all(ev.iters == 2 for ev in val_fn.evaluators.values())
 
         class S:  # minimal TrainState stand-in
             params = variables["params"]
