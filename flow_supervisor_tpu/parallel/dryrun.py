@@ -11,6 +11,13 @@ import jax.numpy as jnp
 
 
 def run_dryrun(n_devices: int) -> None:
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _stamp(msg: str) -> None:
+        print(f"[dryrun +{_time.time() - _t0:.0f}s] {msg}", flush=True)
+
     from flow_supervisor_tpu.config import ModelCfg
     from flow_supervisor_tpu.models import RAFT, RAFTConfig
     from flow_supervisor_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -30,6 +37,14 @@ def run_dryrun(n_devices: int) -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    # Persistent compile cache: the semi-step backward is a multi-minute XLA
+    # compile on a 1-core host; repeat dryruns (driver re-validations, local
+    # debugging) should pay it once.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     devs = jax.devices()
     assert len(devs) >= n_devices, (len(devs), n_devices)
     mesh = make_mesh(n_devices)
@@ -86,7 +101,7 @@ def run_dryrun(n_devices: int) -> None:
     assert int(new_state.step) == 1
     for k, v in log.items():
         assert np.isfinite(float(v)), (k, v)
-    print(
+    _stamp(
         f"dryrun_multichip ok: {n_devices} devices, "
         + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(log.items()))
     )
@@ -107,9 +122,90 @@ def run_dryrun(n_devices: int) -> None:
         assert int(pnew.step) == 1
         for k, v in plog.items():
             assert np.isfinite(float(v)), (k, v)
-        print(
+        _stamp(
             f"dryrun_multichip pod mesh ok: (dcn=2, ici={n_devices // 2}), "
             + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(plog.items()))
+        )
+
+    # Flagship recipe composed ONCE (BASELINE config 5): GMA flow-supervisor on
+    # the (dcn, ici) pod mesh, fed by the REAL `semi-davis_unsup-ctskh` zipped
+    # dataloader (mixed C+T+S+K+H labeled stream + DAVIS unlabeled stream,
+    # reference pytorch/train_gma.py:345-356 + README.md:31-33) over a
+    # synthetic dataset tree at tiny shapes.
+    if n_devices % 2 == 0 and n_devices >= 4:
+        import importlib
+        import tempfile
+
+        from flow_supervisor_tpu.config import TrainCfg
+        from flow_supervisor_tpu.data import paths
+        from flow_supervisor_tpu.data.synthetic import build_synthetic_tree
+        from flow_supervisor_tpu.parallel.mesh import make_pod_mesh
+
+        gcfg = RAFTConfig(
+            iters=2, teacher=True, teacher_iters=1, freeze_bn=True,
+            gma=True,
+        ).resolved()
+        gmodel = RAFT(gcfg)
+
+        old_root = os.environ.get("FST_DATA_ROOT")
+        tmp = tempfile.TemporaryDirectory(prefix="fst_dryrun_")
+        try:
+            build_synthetic_tree(tmp.name)
+            os.environ["FST_DATA_ROOT"] = tmp.name
+            importlib.reload(paths)
+            from flow_supervisor_tpu.data.pipeline import fetch_dataloader
+
+            tcfg = TrainCfg(
+                stage="semi-davis_unsup-ctskh",
+                batch_size=n_devices,
+                image_size=(h, w),
+                unsup_image_size=(h, w),
+                full_size=(fh, fw),
+                loader_workers=0,
+                seed=0,
+            )
+            loader = fetch_dataloader(tcfg)
+            sup_b, unsup_b = next(loader)
+            # stop the prefetch thread BEFORE the tempdir vanishes under it
+            loader.close()
+        finally:
+            if old_root is None:
+                os.environ.pop("FST_DATA_ROOT", None)
+            else:
+                os.environ["FST_DATA_ROOT"] = old_root
+            importlib.reload(paths)
+            tmp.cleanup()
+
+        gvars = gmodel.init(
+            jax.random.PRNGKey(2),
+            jnp.asarray(sup_b["image1"][:1]),
+            jnp.asarray(sup_b["image2"][:1]),
+            jnp.asarray(sup_b["orig_image1"][:1]),
+            jnp.asarray(sup_b["orig_image2"][:1]),
+            jnp.asarray(sup_b["crop_yx"][:1]),
+            train=False,
+            method="semi_forward",
+        )
+        gstate = TrainState.create(gvars["params"], gvars["batch_stats"], tx)
+        gstep = make_semi_train_step(gmodel, mc, donate=False)
+        pod = make_pod_mesh(2, n_devices // 2)
+        sup_keys = ("image1", "image2", "orig_image1", "orig_image2",
+                    "crop_yx", "flow", "valid")
+        with jax.set_mesh(pod):
+            gstate = replicate(gstate, pod)
+            gsup = shard_batch({k: jnp.asarray(sup_b[k]) for k in sup_keys}, pod)
+            gunsup = shard_batch(
+                {k: jnp.asarray(unsup_b[k]) for k in sup_keys[:5]}, pod
+            )
+            gnew, glog = gstep(gstate, gsup, gunsup)
+            jax.block_until_ready(gnew.params)
+        assert int(gnew.step) == 1
+        for k, v in glog.items():
+            assert np.isfinite(float(v)), (k, v)
+        _stamp(
+            f"dryrun_multichip gma pod mesh ok: (dcn=2, ici={n_devices // 2}), "
+            f"stage=semi-davis_unsup-ctskh, "
+            + ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(glog.items()))
         )
 
     # Space-axis sharded eval forward (parallel/spatial.py): one image pair's
@@ -125,4 +221,4 @@ def run_dryrun(n_devices: int) -> None:
     got = spatial_forward(emodel, make_space_mesh(n_devices))(evars, ei1, ei2)
     err = float(jnp.max(jnp.abs(got - ref)))
     assert err < 2e-4, f"space-sharded forward mismatch: {err}"
-    print(f"dryrun_multichip space mesh ok: {n_devices}-way H shard, max|d|={err:.2e}")
+    _stamp(f"dryrun_multichip space mesh ok: {n_devices}-way H shard, max|d|={err:.2e}")

@@ -25,89 +25,22 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's big jits (semi-step backward, e2e CLI
+# runs) are multi-minute XLA compiles on a 1-core host; reruns pay them once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import pytest
-
-
-def _img(path, h=48, w=64, seed=0):
-    import cv2
-
-    rng = np.random.default_rng(seed)
-    cv2.imwrite(str(path), rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
 
 
 @pytest.fixture()
 def fake_root(tmp_path, monkeypatch):
-    from flow_supervisor_tpu.data.io import write_flo, write_flow_kitti
+    from flow_supervisor_tpu.data.synthetic import build_synthetic_tree
 
     root = tmp_path / "datasets"
-    rng = np.random.default_rng(0)
-
-    # sintel training: 1 scene, 3 frames, clean+final + flow
-    for dstype in ("clean", "final"):
-        d = root / "Sintel/training" / dstype / "alley_1"
-        d.mkdir(parents=True)
-        for i in range(3):
-            _img(d / f"frame_{i:04d}.png", seed=i)
-    fd = root / "Sintel/training/flow/alley_1"
-    fd.mkdir(parents=True)
-    for i in range(2):
-        write_flo(str(fd / f"frame_{i:04d}.flo"),
-                  rng.normal(0, 1, (48, 64, 2)).astype(np.float32))
-    # sintel test (for sintel_unsup_test)
-    for dstype in ("clean", "final"):
-        d = root / "Sintel/test" / dstype / "wall"
-        d.mkdir(parents=True)
-        for i in range(3):
-            _img(d / f"frame_{i:04d}.png", seed=i + 7)
-
-    # things: one dir pair
-    for pas in ("frames_cleanpass", "frames_finalpass"):
-        d = root / "FlyingThings" / pas / "TRAIN/A/0000/left"
-        d.mkdir(parents=True)
-        for i in range(3):
-            _img(d / f"{i:04d}.png", seed=i)
-    for direction in ("into_future", "into_past"):
-        d = root / "FlyingThings/optical_flow/TRAIN/A/0000" / direction / "left"
-        d.mkdir(parents=True)
-        for i in range(3):
-            data = rng.normal(0, 1, (48, 64, 3)).astype("<f4")
-            with open(d / f"{i:04d}.pfm", "wb") as f:
-                f.write(b"PF\n64 48\n-1.0\n")
-                data.tofile(f)
-
-    # kitti 2015 train + multiview test
-    k = root / "KITTI/data_scene_flow/training"
-    (k / "image_2").mkdir(parents=True)
-    (k / "flow_occ").mkdir(parents=True)
-    for i in range(2):
-        _img(k / "image_2" / f"{i:06d}_10.png", seed=i)
-        _img(k / "image_2" / f"{i:06d}_11.png", seed=i + 5)
-        write_flow_kitti(str(k / "flow_occ" / f"{i:06d}_10.png"),
-                         rng.normal(0, 1, (48, 64, 2)).astype(np.float32))
-    mv = root / "KITTI/data_scene_flow_multiview/testing/image_2"
-    mv.mkdir(parents=True)
-    for i in range(3):
-        _img(mv / f"000000_{i:02d}.png", seed=i)
-
-    # hd1k
-    (root / "HD1K/hd1k_input/image_2").mkdir(parents=True)
-    (root / "HD1K/hd1k_flow_gt/flow_occ").mkdir(parents=True)
-    for i in range(2):
-        _img(root / "HD1K/hd1k_input/image_2" / f"000000_{i:04d}.png", seed=i)
-        write_flow_kitti(
-            str(root / "HD1K/hd1k_flow_gt/flow_occ" / f"000000_{i:04d}.png"),
-            rng.normal(0, 1, (48, 64, 2)).astype(np.float32),
-        )
-
-    # davis
-    dv = root / "DAVIS/JPEGImages/480p/bear"
-    dv.mkdir(parents=True)
-    for i in range(3):
-        _img(dv / f"{i:05d}.jpg", seed=i)
+    build_synthetic_tree(root)
 
     monkeypatch.setenv("FST_DATA_ROOT", str(root))
     import importlib
