@@ -91,7 +91,10 @@ def main():
     for i in range(n):
         sup_i = dict(sup, image1=sup["image1"] + i * 1e-5)
         state, log = step(state, sup_i, unsup)
-    jax.block_until_ready(state.params)
+    # honest sync: the relay's block_until_ready can return before execution;
+    # a VALUE fetch of the last step's loss (state-chained through all n
+    # steps) is the only trustworthy barrier (docs/PERF.md methodology)
+    assert np.isfinite(float(log["sup_loss"]))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
         "metric": "semi_train_steps_per_sec",
