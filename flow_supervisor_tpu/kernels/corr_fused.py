@@ -88,10 +88,17 @@ class FusedCorrPyramid:
         return cls(children[0], list(children[1:]), aux[0], aux[1], aux[2])
 
 
-def _pick_ych(h2: int, c: int, w2: int, itemsize: int) -> int:
-    """Whole-fmap2 chunk when it fits comfortably in VMEM (loaded once per
-    batch element), else 8-row streaming chunks."""
-    if h2 * c * w2 * itemsize <= 6 * 1024 * 1024:
+def _pick_ych(b: int, h2: int, c: int, w2: int, itemsize: int) -> int:
+    """Whole-fmap2 chunk when it fits the scoped-VMEM budget, else 8-row
+    streaming chunks.
+
+    The budget depends on the BATCH: at b == 1 (and nyc == 1) the f2 block's
+    index map is constant across grid steps, so Mosaic single-buffers it; any
+    batch grid dimension makes the block revolve and DOUBLE-buffer, which blew
+    the 16 MB scoped-vmem limit at 448x1024 B>=4 (level-0 block 3.67 MB ->
+    7.3 MB buffered, measured 17.5 MB total scoped on-chip)."""
+    budget = (6 if b == 1 else 2) * 1024 * 1024
+    if h2 * c * w2 * itemsize <= budget:
         return h2
     return 8
 
@@ -114,7 +121,7 @@ def build_fused_pyramid(
     for lvl in range(num_levels):
         pooled = fmap2 if lvl == 0 else _avg_pool_fmap_same(fmap2, scale)
         _, h2, w2, _ = pooled.shape
-        ych = _pick_ych(h2, c, w2, pooled.dtype.itemsize)
+        ych = _pick_ych(b, h2, c, w2, pooled.dtype.itemsize)
         h2c = _round_up(h2, ych)
         f2t = jnp.transpose(pooled, (0, 1, 3, 2))  # [B, h2, C, w2]
         f2t = jnp.pad(f2t, ((0, 0), (0, h2c - h2), (0, 0), (0, 0)))
@@ -240,7 +247,7 @@ def _fused_level(
     hp = plane_height(h2)
     wp = _round_up(w2, 128)
     tq = _pick_tq(q)
-    ych = min(_pick_ych(h2, c, w2, f2t.dtype.itemsize), h2c)
+    ych = min(_pick_ych(b, h2, c, w2, f2t.dtype.itemsize), h2c)
     assert h2c % ych == 0, (h2c, ych)
     nyc = h2c // ych
     assert nyc * ych <= hp, (nyc, ych, hp)
