@@ -41,19 +41,21 @@ TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
 METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 
 # (backend, batch, scan_iters): ordered cheapest/safest compile first.
-# - einsum B=1: pure-XLA, known to compile through the relay in ~2 min; also
-#   carries the device trace.
-# - einsum B=4: batched amortizes the B=1 latency-bound [10,56]-class dots;
-#   volume fits HBM (level-0 volume at B=4 is ~0.4 GB bf16).
-# - fused scan: the volume-free Pallas kernel (kernels/corr_fused.py); scan
-#   mode lowers 4 pallas calls instead of 48 so the remote compile stays
-#   inside the relay's patience.
+# Round-3 on-chip measurements that shaped this ladder (fori-chain protocol):
+# - einsum B=1 unrolled: 24.4 pairs/sec, ~53s compile — the safe opener.
+# - einsum B=4: 15.8 — batching HURTS einsum (volume HBM traffic scales
+#   with B); kept as cheap fallback only via --quick.
+# - fused scan B in {1,4,8}: 22.4/21.5/21.1 BEFORE the final_flow_only fix
+#   (scan mode was paying 11 wasted full-res convex upsamples per forward);
+#   B=8 only fits because the kernel never materializes the volume.
+# - pallas/fused UNROLLED: 48 pallas lowerings exceed the remote compile
+#   service's patience (>8 min, killed) — not benchable, not deployable.
 LADDER = [
     ("einsum", 1, False),
-    ("einsum", 4, False),
+    ("fused", 1, True),
     ("fused", 4, True),
     ("fused", 8, True),
-    ("fused", 1, True),
+    ("einsum", 4, False),
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))
 PER_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
@@ -123,7 +125,8 @@ def measure_single() -> None:
     def chained(v, image1, image2, s0):
         def body(i, s):
             out = model.apply(
-                v, image1 + s * 1e-9, image2, train=False
+                v, image1 + s * 1e-9, image2, train=False,
+                final_flow_only=True,
             )["flow_up"][-1]
             return jnp.mean(jnp.abs(out))
 
@@ -213,7 +216,9 @@ def orchestrate() -> None:
 
     for backend, batch, scan in ladder:
         key = f"{backend}_b{batch}" + ("_scan" if scan else "")
-        attempts = 2
+        # one attempt per config once a number is banked: observed wedges are
+        # config-correlated, and breadth beats retrying a wedging config
+        attempts = 1 if any("pairs_per_sec" in r for r in results.values()) else 2
         for attempt in range(attempts):
             elapsed = time.perf_counter() - t_start
             budget = GLOBAL_DEADLINE_S - elapsed
@@ -223,8 +228,6 @@ def orchestrate() -> None:
                 sys.executable, os.path.abspath(__file__), "--single",
                 "--backend", backend, "--batch", str(batch),
             ] + (["--scan"] if scan else []) + extra
-            if backend == "einsum" and batch == 1:
-                cmd.append("--device-trace")
             p = subprocess.Popen(
                 cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                 text=True, start_new_session=True,
@@ -249,6 +252,33 @@ def orchestrate() -> None:
             "pairs_per_sec" in r for r in results.values()
         ):
             break
+
+    # xplane device-time ground truth, LAST and aux-only: jax.profiler wedged
+    # the relay 2/2 on round-3 einsum runs (it previously only wedged on
+    # pallas custom-calls), so a trace run must never gate the headline.
+    if (
+        "--no-trace" not in sys.argv
+        and "--quick" not in sys.argv
+        and any("pairs_per_sec" in r for r in results.values())
+        and time.perf_counter() - t_start < GLOBAL_DEADLINE_S - 240
+    ):
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--single",
+            "--backend", "einsum", "--batch", "1", "--device-trace",
+        ] + extra
+        p = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, start_new_session=True,
+        )
+        try:
+            out, _ = p.communicate(timeout=PER_ATTEMPT_TIMEOUT_S)
+            lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+            if lines:
+                results["einsum_b1_trace"] = json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            results["einsum_b1_trace"] = {"error": "timeout"}
 
     ok = {k: r for k, r in results.items() if "pairs_per_sec" in r}
     if ok:

@@ -113,6 +113,7 @@ class Evaluator:
                 flow_init=flow_init if with_init else None,
                 train=False,
                 iters=self.iters,
+                final_flow_only=True,
             )
             return _gather(out["flow_up"][-1]), _gather(out["flow_low"][-1])
 

@@ -198,6 +198,7 @@ class RAFT(nn.Module):
         teacher: bool = False,
         stop_coord_gradient: bool = True,
         attention=None,
+        final_flow_only: bool = False,
     ):
         """Run `iters` refinement steps; returns (net, coords1, flows_up, flows_low).
 
@@ -207,10 +208,18 @@ class RAFT(nn.Module):
         the update block in the compiled program instead of ``iters`` — an
         order-of-magnitude smaller HLO and faster compiles than the reference's
         unrolled Python loop); ``cfg.scan_iters=False`` falls back to unrolling.
+
+        ``final_flow_only``: compute the full-res convex upsample ONCE, after
+        the loop, and return flows_up with length 1 (training losses consume
+        every iteration's upsample; inference consumes only ``[-1]``, and in
+        scan mode XLA cannot dead-code the 11 wasted full-res softmax+combine
+        passes the way it does for the unrolled loop). flows_low keeps all
+        iterations (cheap 1/8-res, used by warm start).
         """
+        has_mask = self.cfg.convex_upsampling
 
         def step(mdl, carry, _):
-            net, coords1 = carry
+            net, coords1 = carry[0], carry[1]
             block = mdl.teacher_update_block if teacher else mdl.update_block
             if stop_coord_gradient:
                 coords1 = jax.lax.stop_gradient(coords1)
@@ -257,6 +266,11 @@ class RAFT(nn.Module):
                 net, up_mask, delta = block(*block_args)
             coords1 = coords1 + delta.astype(jnp.float32)
             flow_low = coords1 - coords0
+            if final_flow_only:
+                new_carry = (
+                    (net, coords1, up_mask) if has_mask else (net, coords1)
+                )
+                return new_carry, flow_low
             if up_mask is None:
                 # small model: bilinear x8 upsample (the reference raises here,
                 # raft/__init__.py:167-168 — we keep the small variant usable)
@@ -268,6 +282,11 @@ class RAFT(nn.Module):
                 )
             return (net, coords1), (flow_up, flow_low)
 
+        carry0 = (net, coords1)
+        if final_flow_only and has_mask:
+            b, h8, w8 = coords1.shape[0], coords1.shape[1], coords1.shape[2]
+            carry0 = (net, coords1, jnp.zeros((b, h8, w8, 576), self.cfg.dtype))
+
         if self.cfg.scan_iters:
             scan = nn.scan(
                 step,
@@ -275,17 +294,33 @@ class RAFT(nn.Module):
                 split_rngs={"params": False},
                 length=iters,
             )
-            (net, coords1), (ups, lows) = scan(self, (net, coords1), None)
-            return net, coords1, ups, lows
+            carry, ys = scan(self, carry0, None)
+        else:
+            ys_list = []
+            carry = carry0
+            for _ in range(iters):
+                carry, y = step(self, carry, None)
+                ys_list.append(y)
+            ys = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ys_list)
 
-        ups, lows = [], []
-        carry = (net, coords1)
-        for _ in range(iters):
-            carry, (flow_up, flow_low) = step(self, carry, None)
-            ups.append(flow_up)
-            lows.append(flow_low)
+        if final_flow_only:
+            net, coords1 = carry[0], carry[1]
+            lows = ys
+            flow_low = coords1 - coords0
+            if has_mask:
+                flow_up = (
+                    upsample_convex(
+                        flow_low, carry[2].astype(jnp.float32), out_size
+                    )
+                    * 8.0
+                )
+            else:
+                flow_up = resize_flow(flow_low, out_size, scaling=True)
+            return net, coords1, flow_up[None], lows
+
         net, coords1 = carry
-        return net, coords1, jnp.stack(ups), jnp.stack(lows)
+        ups, lows = ys
+        return net, coords1, ups, lows
 
     def build_corr(self, fmap1, fmap2):
         """Correlation pyramid via pooled feature maps (linear-pooling identity;
@@ -336,6 +371,7 @@ class RAFT(nn.Module):
         flow_init: Optional[jax.Array] = None,
         train: bool = False,
         iters: Optional[int] = None,
+        final_flow_only: bool = False,
     ):
         cfg = self.cfg
         iters = cfg.iters if iters is None else iters
@@ -356,6 +392,7 @@ class RAFT(nn.Module):
         net, coords1, flows_up, flows_low = self.iterate(
             net, inp, corr_pyramid, coords0, coords1, (h, w), iters,
             attention=self.attention_map(inp),
+            final_flow_only=final_flow_only,
         )
         return {"flow_up": flows_up, "flow_low": flows_low}
 

@@ -58,7 +58,8 @@ def spatial_forward(model, mesh: Mesh, train: bool = False):
     def forward(variables, image1, image2):
         image1 = jax.lax.with_sharding_constraint(image1, img_sharding)
         image2 = jax.lax.with_sharding_constraint(image2, img_sharding)
-        out = model.apply(variables, image1, image2, train=train)
+        out = model.apply(variables, image1, image2, train=train,
+                          final_flow_only=True)
         flow = out["flow_up"][-1]
         return jax.lax.with_sharding_constraint(flow, repl)
 

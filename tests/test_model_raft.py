@@ -123,3 +123,30 @@ def test_scan_matches_unrolled():
     np.testing.assert_allclose(
         np.asarray(a["flow_low"]), np.asarray(b["flow_low"]), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("scan", [True, False])
+@pytest.mark.parametrize("small", [False, True])
+def test_final_flow_only_matches_last(scan, small):
+    """final_flow_only computes the convex upsample once after the loop; its
+    single flow_up must equal the full run's flow_up[-1] (and flow_low must be
+    identical — all iterations are still emitted for warm start)."""
+    import dataclasses
+
+    cfg = RAFTConfig(iters=3, small=small, scan_iters=scan).resolved()
+    model = RAFT(cfg)
+    img1 = jnp.full((1, 32, 48, 3), 0.4)
+    img2 = jnp.roll(img1, 1, axis=2) * 0.9
+    v = model.init(jax.random.PRNGKey(3), img1, img2, train=False)
+    full = model.apply(v, img1, img2, train=False)
+    last = model.apply(v, img1, img2, train=False, final_flow_only=True)
+    assert last["flow_up"].shape[0] == 1
+    np.testing.assert_allclose(
+        np.asarray(last["flow_up"][-1]),
+        np.asarray(full["flow_up"][-1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(last["flow_low"]), np.asarray(full["flow_low"]),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -30,7 +30,8 @@ def build(backend, batch, n):
     @jax.jit
     def chained(v, i1, i2, s0):
         def body(i, s):
-            out = model.apply(v, i1 + s * 1e-9, i2, train=False)["flow_up"][-1]
+            out = model.apply(v, i1 + s * 1e-9, i2, train=False,
+                              final_flow_only=True)["flow_up"][-1]
             return jnp.mean(jnp.abs(out))
 
         return jax.lax.fori_loop(0, n, body, s0)
