@@ -11,9 +11,12 @@ to final window channels with one-hot MXU dots that fold, in a single pass:
 
   - the 4-tap bilinear combine (the external combine on the 8x tile-padded
     [BQ, SUP, 16] f32 output cost 4.6 ms/fwd by xplane profile),
-  - the dx-major/dy-major channel permutation (no transpose either way),
-  - the level's stripe offset in the concatenated channel axis (the level
-    outputs are summed, not concatenated -- no relayout).
+  - the dx-major/dy-major channel permutation (no transpose either way).
+
+Each level emits its own [BQ, k^2] stripe and the stripes are concatenated
+level-major outside the kernel: an in-kernel stripe offset (the round-3 first
+cut) made the one-hot dot's N = 4*L*k^2 = 1296 with 3/4 structural zeros --
+11 MXU column passes per dot where 3 suffice.
 
 Recompute trades ~35 GFLOP/fwd of MXU work (~0.2 ms at measured matmul rates)
 for the volume's entire HBM life-cycle: the 0.5-2 GB build+pad traffic, the
@@ -186,10 +189,12 @@ def _fused_level_kernel(
             sx = idx_ref[q, 2]
             by = idx_ref[q, 3]
             bx = idx_ref[q, 4]
-            # dynamic rotates are 32-bit only: upcast bf16 bands in-register
-            band = plane_ref[q, pl.ds(by8, BAND), :].astype(jnp.float32)
+            band = plane_ref[q, pl.ds(by8, BAND), :]
             band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
-            patch = pltpu.roll(band, sx, axis=1)[:sup, :16]
+            # slice rows BEFORE the lane roll: the y-kept rows are 0..sup-1
+            # (by - by8 <= 7 and 7 + 16 <= BAND, so no wrap pollutes them),
+            # which shrinks the widest per-query op from [24,128] to [16,128]
+            patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
             valid = (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
             # where (not multiply): wrapped/stale plane values may be anything
             sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
@@ -333,17 +338,18 @@ def _lookup_impl(
     b, q, _ = f1.shape
     h1, w1 = h1w1
     k = 2 * radius + 1
-    cht = len(f2ts) * k * k
     coords_flat = coords.reshape(b, q, 2)
-    total = None
+    outs = []
     for lvl, (f2t, hw) in enumerate(zip(f2ts, shapes)):
         cl = coords_flat / (2.0 ** lvl)
-        out = _fused_level(
-            f1, f2t, cl, hw, radius, cht, lvl * k * k, dy_major,
-            plane_dtype, out_dtype, interpret,
+        outs.append(
+            _fused_level(
+                f1, f2t, cl, hw, radius, k * k, 0, dy_major,
+                plane_dtype, out_dtype, interpret,
+            )
         )
-        total = out if total is None else total + out  # disjoint stripes
-    return total.reshape(b, h1, w1, cht)
+    # level-major channel concat (reference pyramid layout, ops/corr.py)
+    return jnp.concatenate(outs, axis=-1).reshape(b, h1, w1, len(f2ts) * k * k)
 
 
 # ---- custom VJP: direct transposed einsums, no forward recompute -----------
