@@ -98,6 +98,7 @@ def measure_single() -> None:
         corr_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         lookup_backend=backend,
         scan_iters=scan,
+        gma="--gma" in sys.argv,
     ).resolved()
     model = RAFT(cfg)
 
@@ -151,6 +152,7 @@ def measure_single() -> None:
         "backend": backend,
         "batch": batch,
         "scan": scan,
+        **({"gma": True} if "--gma" in sys.argv else {}),
         "n_fwds": n,
         "compile_s": round(compile_s, 1),
     }

@@ -251,6 +251,18 @@ def _fused_level(
     sup = 2 * radius + 2
     hp = plane_height(h2)
     wp = _round_up(w2, 128)
+    # Pad the query axis to a 128-multiple: recipe crops give q with no large
+    # power-of-two divisor (400x720 -> q=4500 -> tq=4), which both violates
+    # Mosaic's (8,128) block-divisibility rule on the SMEM idx block and
+    # wastes the tile. Padded queries carry coords (0,0) -> valid indices.
+    q_real = q
+    q = _round_up(q, 128)
+    if q != q_real:
+        f1 = jnp.pad(f1, ((0, 0), (0, q - q_real), (0, 0)))
+        coords_flat = jnp.pad(
+            coords_flat.reshape(b, q_real, 2),
+            ((0, 0), (0, q - q_real), (0, 0)),
+        )
     tq = _pick_tq(q)
     ych = min(_pick_ych(b, h2, c, w2, f2t.dtype.itemsize), h2c)
     assert h2c % ych == 0, (h2c, ych)
@@ -324,6 +336,8 @@ def _fused_level(
         ],
         interpret=interpret,
     )(idx, frac, f1, f2t, s_mat)
+    if q != q_real:
+        out = out.reshape(b, q, cht)[:, :q_real].reshape(b * q_real, cht)
     return out
 
 

@@ -127,3 +127,16 @@ def test_bf16_pyramid_runs():
     got = cf.corr_pyramid_lookup_fused(pyr, coords, R)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
+
+
+def test_query_count_not_pow2_divisible():
+    """Recipe crops give q with no large power-of-two divisor (400x720 ->
+    q=4500): the kernel pads the query axis to a 128-multiple internally
+    (Mosaic block-divisibility + tile utilization) and must slice it back."""
+    f1, f2, coords = _setup(h8=5, w8=9)  # q = 45
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 4, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R, dy_major=True)
+    pyr = cf.build_fused_pyramid(f1, f2, 4, R)
+    got = cf.corr_pyramid_lookup_fused(pyr, coords, R, dy_major=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
