@@ -136,11 +136,13 @@ class Evaluator:
                     c0 = coords_grid(b, h8, w8)
                     c1 = c0 + flow_init if with_init else c0
                     net, _, stu_up, stu_low = mdl.iterate(
-                        net, inp, pyr, c0, c1, (h, w), self.iters, attention=att
+                        net, inp, pyr, c0, c1, (h, w), self.iters,
+                        attention=att, final_flow_only=True,
                     )
                     _, _, tea_up, _ = mdl.iterate(
                         net, inp, pyr, c0, c0 + stu_low[-1], (h, w),
                         mdl.cfg.teacher_iters, teacher=True, attention=att,
+                        final_flow_only=True,
                     )
                     return stu_up[-1], tea_up[-1], stu_low[-1]
 
