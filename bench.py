@@ -50,9 +50,11 @@ METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 #   B=8 only fits because the kernel never materializes the volume.
 # - pallas/fused UNROLLED: 48 pallas lowerings exceed the remote compile
 #   service's patience (>8 min, killed) — not benchable, not deployable.
+# - fused scan B=1 post stripe/roll/qpad optimizations: 26.8 pairs/sec,
+#   41s compile — best measured config AND cheapest compile, so it opens.
 LADDER = [
-    ("einsum", 1, False),
     ("fused", 1, True),
+    ("einsum", 1, False),
     ("fused", 4, True),
     ("fused", 8, True),
     ("einsum", 4, False),
