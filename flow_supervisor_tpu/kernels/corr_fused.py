@@ -4,34 +4,45 @@ TPU-native counterpart of the reference's ``alt_cuda_corr`` with its defining
 property intact (pytorch/alt_cuda_corr/correlation_kernel.cu:19-119, python
 wrapper pytorch/core/corr.py:63-91): the all-pairs correlation volume is NEVER
 materialized in HBM. Each grid step recomputes a [TQ, h2, w2] slab of the
-correlation plane IN VMEM from the feature maps with MXU dots (good shapes:
-M=TQ=128, K=C, N=w2), extracts every query's (2r+2)x(2r+2) bilinear support
-with the slice+roll scheme proven in corr_lookup_v2, and reduces the support
-to final window channels with one-hot MXU dots that fold, in a single pass:
+correlation plane IN VMEM from the feature maps with MXU dots, extracts every
+query's (2r+2)x(2r+2) bilinear support with the slice+roll scheme proven in
+corr_lookup_v2, and reduces the support to final window channels with one-hot
+MXU dots that fold the 4-tap bilinear combine and the dx/dy-major channel
+permutation into a single pass.
 
-  - the 4-tap bilinear combine (the external combine on the 8x tile-padded
-    [BQ, SUP, 16] f32 output cost 4.6 ms/fwd by xplane profile),
-  - the dx-major/dy-major channel permutation (no transpose either way).
+Round-3 second-iteration structure (driven by on-chip phase ablations,
+tools/exp_fused_ablate.py / exp_groupstore_probe.py):
 
-Each level emits its own [BQ, k^2] stripe and the stripes are concatenated
-level-major outside the kernel: an in-kernel stripe offset (the round-3 first
-cut) made the one-hot dot's N = 4*L*k^2 = 1296 with 3/4 structural zeros --
-11 MXU column passes per dot where 3 suffice.
+- **Grouped factor layout + contiguous plane stores.** fmap2 factors are laid
+  out per level as [B, G, C, 8*WP]: G row-groups of 8 plane rows, each row
+  zero-padded to the 128-multiple WP along lanes. One MXU dot per group
+  ([TQ, C] x [C, 8*WP]) emits 8 plane rows at once, stored CONTIGUOUSLY via an
+  in-register [TQ, 8*WP] -> [TQ, 8, WP] reshape — replacing 8 strided
+  single-sublane-row stores (and producing ~8x fewer Mosaic ops: measured
+  compile 79s -> 9s for the 4-level lookup chain).
 
-Recompute trades ~35 GFLOP/fwd of MXU work (~0.2 ms at measured matmul rates)
-for the volume's entire HBM life-cycle: the 0.5-2 GB build+pad traffic, the
-per-iteration band reads, and the HBM capacity ceiling that capped batch size
-and single-chip eval resolution (reference trains at bs 6-10, train.sh:3-6).
+- **One kernel per lookup, not one per level.** At batch 1 (the eval/serving
+  shape) all four pyramid levels run inside a single pallas_call: the plane
+  scratch is REUSED level by level (levels never need planes concurrently, so
+  VMEM holds one max-size slab instead of four), f1/idx/frac stream once per
+  query tile instead of four times, each level writes its own channel stripe
+  of the output block (no XLA-side concat), and scan-mode training compiles
+  ONE Mosaic lowering per iteration instead of four. Per-grid-step fixed cost
+  (~1.7 us) is paid 56x per lookup instead of 224x.
 
-Feature maps are streamed per y-chunk when fmap2 does not fit in VMEM
-(grid dim YC), so >1080p single-chip eval compiles with bf16 planes.
+Recompute trades ~35 GFLOP of MXU work per lookup for the volume's entire HBM
+life-cycle: the 0.5-2 GB build+pad traffic, the per-iteration band reads, and
+the HBM capacity ceiling that capped batch size and single-chip eval
+resolution (reference trains at bs 6-10, train.sh:3-6). Feature maps are
+streamed per row-group chunk when fmap2 does not fit in VMEM (grid dim YC in
+the per-level fallback), so >1080p single-chip eval compiles with bf16 planes.
 
 Gradients: a custom VJP computes d(fmap1)/d(fmap2) directly as transposed
 one-hot einsums (scatter into a transient d_volume, then two big MXU
-contractions) -- residuals are just (fmap1, pooled fmap2, coords); nothing of
-the forward is re-run, unlike corr_lookup_v2's round-2 oracle-recompute VJP.
-Coordinate gradients are zero by the reference's own contract (coords are
-detached before every lookup, raft/__init__.py:155).
+contractions) — residuals are just (fmap1, grouped pooled fmap2, coords);
+nothing of the forward is re-run. Coordinate gradients are zero by the
+reference's own contract (coords are detached before every lookup,
+raft/__init__.py:155).
 """
 from __future__ import annotations
 
@@ -59,51 +70,71 @@ from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
 _TAPS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 _VMEM_BUDGET = 12 * 1024 * 1024
+# merged all-levels kernel budget: sum(f2g) + plane(tq) + sup + blocks
+_MERGED_BUDGET = 13 * 1024 * 1024
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class FusedCorrPyramid:
     """Correlation pyramid stored as its FACTORS: fmap1 queries and per-level
-    pooled fmap2 columns. The volume itself is recomputed tile-by-tile in VMEM
-    at every lookup.
+    grouped pooled fmap2 columns. The volume itself is recomputed tile-by-tile
+    in VMEM at every lookup.
 
     f1:     [B, Q, C] query features (Q = h1*w1)
-    f2ts:   per level, [B, h2c_l, C, w2_l] pooled target features, transposed
-            channel-middle for direct [C, w2] column dots, rows zero-padded to
-            the kernel's y-chunk multiple h2c_l
+    f2gs:   per level, [B, G, C, 8*WP] grouped pooled target features:
+            lane block k*WP..k*WP+w2 of group g holds plane row 8g+k's
+            [C, w2] columns (zero-padded to WP and to 8G rows)
     shapes: per level (h2, w2) true target dims
     h1w1:   query grid dims
     radius: lookup radius the channel layout is sized for
     """
 
     f1: jax.Array
-    f2ts: list[jax.Array]
+    f2gs: list[jax.Array]
     shapes: tuple[tuple[int, int], ...]
     h1w1: tuple[int, int]
     radius: int
 
     def tree_flatten(self):
-        return [self.f1, *self.f2ts], (self.shapes, self.h1w1, self.radius)
+        return [self.f1, *self.f2gs], (self.shapes, self.h1w1, self.radius)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], list(children[1:]), aux[0], aux[1], aux[2])
 
 
-def _pick_ych(b: int, h2: int, c: int, w2: int, itemsize: int) -> int:
-    """Whole-fmap2 chunk when it fits the scoped-VMEM budget, else 8-row
-    streaming chunks.
+def _wp_of(w2: int) -> int:
+    return _round_up(w2, 128)
 
-    The budget depends on the BATCH: at b == 1 (and nyc == 1) the f2 block's
-    index map is constant across grid steps, so Mosaic single-buffers it; any
-    batch grid dimension makes the block revolve and DOUBLE-buffer, which blew
-    the 16 MB scoped-vmem limit at 448x1024 B>=4 (level-0 block 3.67 MB ->
-    7.3 MB buffered, measured 17.5 MB total scoped on-chip)."""
-    budget = (6 if b == 1 else 2) * 1024 * 1024
-    if h2 * c * w2 * itemsize <= budget:
-        return h2
-    return 8
+
+def _group_f2(pooled: jax.Array) -> jax.Array:
+    """[B, h2, w2, C] pooled fmap -> grouped factor [B, G, C, 8*WP]."""
+    b, h2, w2, c = pooled.shape
+    wp = _wp_of(w2)
+    g = (h2 + 7) // 8
+    x = jnp.pad(pooled, ((0, 0), (0, 8 * g - h2), (0, wp - w2), (0, 0)))
+    # [B, 8G, WP, C] -> [B, G, 8, C, WP] -> [B, G, C, 8, WP] -> [B, G, C, 8WP]
+    x = x.transpose(0, 1, 3, 2).reshape(b, g, 8, c, wp)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, g, c, 8 * wp)
+
+
+def _ungroup_f2(f2g: jax.Array, h2: int, w2: int) -> jax.Array:
+    """Inverse of _group_f2 -> [B, h2, C, w2] (the VJP's einsum layout)."""
+    b, g, c, wp8 = f2g.shape
+    wp = wp8 // 8
+    x = f2g.reshape(b, g, c, 8, wp).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, 8 * g, c, wp)[:, :h2, :, :w2]
+
+
+def _regroup_d_f2(d_f2: jax.Array, like: jax.Array) -> jax.Array:
+    """[B, h2, C, w2] cotangent -> grouped layout matching ``like``."""
+    b, g, c, wp8 = like.shape
+    wp = wp8 // 8
+    _, h2, _, w2 = d_f2.shape
+    x = jnp.pad(d_f2, ((0, 0), (0, 8 * g - h2), (0, 0), (0, wp - w2)))
+    x = x.reshape(b, g, 8, c, wp).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, g, c, 8 * wp).astype(like.dtype)
 
 
 def build_fused_pyramid(
@@ -119,19 +150,15 @@ def build_fused_pyramid(
 
     b, h1, w1, c = fmap1.shape
     f1 = fmap1.reshape(b, h1 * w1, c)
-    f2ts, shapes = [], []
+    f2gs, shapes = [], []
     scale = 1
     for lvl in range(num_levels):
         pooled = fmap2 if lvl == 0 else _avg_pool_fmap_same(fmap2, scale)
         _, h2, w2, _ = pooled.shape
-        ych = _pick_ych(b, h2, c, w2, pooled.dtype.itemsize)
-        h2c = _round_up(h2, ych)
-        f2t = jnp.transpose(pooled, (0, 1, 3, 2))  # [B, h2, C, w2]
-        f2t = jnp.pad(f2t, ((0, 0), (0, h2c - h2), (0, 0), (0, 0)))
-        f2ts.append(f2t)
+        f2gs.append(_group_f2(pooled))
         shapes.append((h2, w2))
         scale *= 2
-    return FusedCorrPyramid(f1, f2ts, tuple(shapes), (h1, w1), radius)
+    return FusedCorrPyramid(f1, f2gs, tuple(shapes), (h1, w1), radius)
 
 
 @functools.lru_cache(maxsize=64)
@@ -142,10 +169,8 @@ def _combine_matrix(
 
     S[u, v, t*CHT + ch_off + o] = 1 iff window offset (dy, dx) of output
     channel o is touched by support tap (u, v) under bilinear tap t. The dot
-    against S performs tap-gather, channel permutation (dy- or dx-major,
-    reference order allfield.py:109-135), and the level's stripe placement in
-    one MXU pass; stripes of other levels stay exactly zero so level outputs
-    sum instead of concatenate."""
+    against S performs tap-gather and channel permutation (dy- or dx-major,
+    reference order allfield.py:109-135) in one MXU pass."""
     k = 2 * radius + 1
     s = np.zeros((sup, 16, 4 * cht), np.float32)
     for t, (a, bshift) in enumerate(_TAPS):
@@ -156,72 +181,76 @@ def _combine_matrix(
     return s
 
 
-def _fused_level_kernel(
-    idx_ref, frac_ref, f1_ref, f2_ref, s_ref, out_ref, plane_ref, sup_ref,
-    *, tq, sup, cht, h2, w2, wp, ych, scale_recip, highest,
-):
-    yc = pl.program_id(2)
-    nyc = pl.num_programs(2)
+def _plane_dots(f1, f2_ref, plane_ref, *, ngr, g_base, w2, wp, scale_recip,
+                precision, tq, bi=None):
+    """ngr grouped MXU dots -> contiguous 8-row plane stores.
 
-    # ---- plane slab: corr rows for this y-chunk, straight off the MXU ------
-    f1 = f1_ref[0]  # [TQ, C]
-    precision = jax.lax.Precision.HIGHEST if highest else None
-    for j in range(ych):
-        col = f2_ref[0, j]  # [C, w2]
-        prod = jax.lax.dot_general(
-            f1, col, (((1,), (0,)), ((), ())),
+    f2_ref indexes [ngr, C, 8*WP] (or [1, ngr, C, 8*WP] with bi=0 handled by
+    caller passing a pre-indexed ref view)."""
+    for g in range(ngr):
+        cols8 = f2_ref[g]  # [C, 8*WP]
+        prod8 = jax.lax.dot_general(
+            f1, cols8, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         if scale_recip is not None:
-            prod = prod * scale_recip  # exact: 1/sqrt(C) is a power of two
+            prod8 = prod8 * scale_recip  # exact: 1/sqrt(C) power of two
         else:
-            prod = prod / jnp.sqrt(jnp.asarray(f1.shape[-1], jnp.float32))
-        plane_ref[:, yc * ych + j, 0:w2] = prod.astype(plane_ref.dtype)
+            prod8 = prod8 / jnp.sqrt(jnp.asarray(f1.shape[-1], jnp.float32))
+        g0 = pl.multiple_of(g_base + g * 8, 8)
+        plane_ref[:, pl.ds(g0, 8), 0:wp] = prod8.reshape(tq, 8, wp).astype(
+            plane_ref.dtype
+        )
 
-    # ---- window extraction + fused combine, once the plane is complete -----
-    @pl.when(yc == nyc - 1)
-    def _():
-        iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
-        iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
-        for q in range(tq):
-            by8 = pl.multiple_of(idx_ref[q, 0], 8)
-            sy = idx_ref[q, 1]
-            sx = idx_ref[q, 2]
-            by = idx_ref[q, 3]
-            bx = idx_ref[q, 4]
-            band = plane_ref[q, pl.ds(by8, BAND), :]
-            band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
-            # slice rows BEFORE the lane roll: the y-kept rows are 0..sup-1
-            # (by - by8 <= 7 and 7 + 16 <= BAND, so no wrap pollutes them),
-            # which shrinks the widest per-query op from [24,128] to [16,128]
-            patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
-            valid = (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
-            # where (not multiply): wrapped/stale plane values may be anything
-            sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
-        # one-hot MXU reduction: tap gather + channel order + level stripe.
-        # Each output channel receives exactly ONE support tap, so the only
-        # precision risk is operand truncation: at DEFAULT the MXU casts the
-        # f32 support to bf16 (measured 5e-3 error vs the oracle on-chip);
-        # HIGHEST keeps f32 planes bit-faithful. bf16 planes lose nothing to
-        # the cast (sup values already came from bf16), so DEFAULT is right.
-        acc = jax.lax.dot_general(
-            sup_ref[:, 0, :], s_ref[0], (((1,), (0,)), ((), ())),
+
+def _extract_and_combine(idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
+                         out_ref, *, tq, sup, cht, h2, w2, wp, ch0,
+                         precision, qoff=0):
+    """Per-query slice+roll window extraction from the plane slab, then the
+    shared one-hot combine dots; writes out_ref[:, ch0:ch0+cht].
+
+    ``qoff``: row offset into idx/frac (the merged kernel packs all levels'
+    rows into one block — SMEM blocks cannot be minor-dim sliced)."""
+    iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
+    iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
+    for q in range(tq):
+        by8 = pl.multiple_of(idx_ref[qoff + q, 0], 8)
+        sy = idx_ref[qoff + q, 1]
+        sx = idx_ref[qoff + q, 2]
+        by = idx_ref[qoff + q, 3]
+        bx = idx_ref[qoff + q, 4]
+        band = plane_ref[q, pl.ds(by8, BAND), 0:wp]
+        band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
+        # slice rows BEFORE the lane roll: the y-kept rows are 0..sup-1
+        # (by - by8 <= 7 and 7 + 16 <= BAND, so no wrap pollutes them),
+        # which shrinks the widest per-query op from [24,WP] to [16,WP]
+        patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
+        valid = (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
+        # where (not multiply): wrapped/stale plane values may be anything
+        sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
+    # one-hot MXU reduction: tap gather + channel order. Each output channel
+    # receives exactly ONE support tap, so the only precision risk is operand
+    # truncation: at DEFAULT the MXU casts the f32 support to bf16 (measured
+    # 5e-3 error vs the oracle on-chip); HIGHEST keeps f32 planes
+    # bit-faithful. bf16 planes lose nothing to the cast.
+    acc = jax.lax.dot_general(
+        sup_ref[:, 0, :], s_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    for u in range(1, sup):
+        acc += jax.lax.dot_general(
+            sup_ref[:, u, :], s_ref[u], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        for u in range(1, sup):
-            acc += jax.lax.dot_general(
-                sup_ref[:, u, :], s_ref[u], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-        fx = frac_ref[:, 0:1]
-        fy = frac_ref[:, 1:2]
-        out = (
-            ((1.0 - fy) * (1.0 - fx)) * acc[:, 0 * cht : 1 * cht]
-            + ((1.0 - fy) * fx) * acc[:, 1 * cht : 2 * cht]
-            + (fy * (1.0 - fx)) * acc[:, 2 * cht : 3 * cht]
-            + (fy * fx) * acc[:, 3 * cht : 4 * cht]
-        )
-        out_ref[:, :] = out.astype(out_ref.dtype)
+    fx = frac_ref[qoff : qoff + tq, 0:1]
+    fy = frac_ref[qoff : qoff + tq, 1:2]
+    out = (
+        ((1.0 - fy) * (1.0 - fx)) * acc[:, 0 * cht : 1 * cht]
+        + ((1.0 - fy) * fx) * acc[:, 1 * cht : 2 * cht]
+        + (fy * (1.0 - fx)) * acc[:, 2 * cht : 3 * cht]
+        + (fy * fx) * acc[:, 3 * cht : 4 * cht]
+    )
+    out_ref[:, ch0 : ch0 + cht] = out.astype(out_ref.dtype)
 
 
 def _level_indices(coords, lvl, h2, w2, hp, wp, radius):
@@ -239,66 +268,217 @@ def _level_indices(coords, lvl, h2, w2, hp, wp, radius):
     return jnp.stack([by8, sy, sx, by, bx], axis=-1), frac
 
 
-def _fused_level(
-    f1, f2t, coords_flat, hw, radius, cht, ch_off, dy_major,
-    plane_dtype, out_dtype, interpret=None,
+def _scale_recip_of(c: int):
+    inv = 1.0 / math.sqrt(c)
+    r = math.sqrt(c)
+    if r == int(r) and (int(r) & (int(r) - 1)) == 0:
+        return inv  # power-of-two sqrt: multiply is bit-exact division
+    return None
+
+
+def _pad_queries(f1, coords_flat):
+    """Pad the query axis to a 128-multiple: recipe crops give q with no large
+    power-of-two divisor (400x720 -> q=4500), which both violates Mosaic's
+    (8,128) block-divisibility rule on the SMEM idx block and wastes the tile.
+    Padded queries carry coords (0,0) -> valid indices."""
+    b, q, c = f1.shape
+    qp = _round_up(q, 128)
+    if qp != q:
+        f1 = jnp.pad(f1, ((0, 0), (0, qp - q), (0, 0)))
+        coords_flat = jnp.pad(coords_flat, ((0, 0), (0, qp - q), (0, 0)))
+    return f1, coords_flat, q, qp
+
+
+# ---------------- merged all-levels kernel (batch-1 fast path) --------------
+
+
+def _fused_all_kernel(
+    idx_ref, frac_ref, f1_ref, *rest,
+    tq, sup, cht, level_meta, scale_recip, highest,
 ):
-    """One level's lookup: [BQ, CHT] with only this level's stripe non-zero."""
+    nl = len(level_meta)
+    f2_refs = rest[:nl]
+    s_ref = rest[nl]
+    out_ref = rest[nl + 1]
+    plane_ref = rest[nl + 2]
+    sup_ref = rest[nl + 3]
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    f1 = f1_ref[0]
+    for lvl, (h2, w2, wp, ngr) in enumerate(level_meta):
+        _plane_dots(
+            f1, f2_refs[lvl].at[0], plane_ref,
+            ngr=ngr, g_base=0, w2=w2, wp=wp, scale_recip=scale_recip,
+            precision=precision, tq=tq,
+        )
+        _extract_and_combine(
+            idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
+            out_ref, tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp,
+            ch0=lvl * cht, precision=precision, qoff=lvl * tq,
+        )
+
+
+def _merged_tq(q: int, hp: int, wp_max: int, f2_bytes: int) -> int | None:
+    """Largest query tile whose shared plane slab + resident factors fit the
+    merged-kernel VMEM budget; None if even tq=8 does not fit."""
+    tq = _pick_tq(q)
+    while tq >= 8:
+        if tq * hp * wp_max * 4 + f2_bytes <= _MERGED_BUDGET:
+            return tq
+        tq //= 2
+    return None
+
+
+def _fused_all_levels(
+    f1, f2gs, shapes, coords_flat, radius, cht, dy_major,
+    out_dtype, tq, interpret=None,
+):
+    """All pyramid levels in ONE pallas_call (b == 1, factors VMEM-resident).
+
+    Returns [B, Q, nl*cht] with level-major channel stripes."""
+    interpret = _auto_interpret(interpret)
+    b, q, c = f1.shape
+    assert b == 1, b
+    sup = 2 * radius + 2
+    nl = len(f2gs)
+    wps = [f2g.shape[-1] // 8 for f2g in f2gs]
+    hp = max(
+        max(plane_height(h2) for (h2, _w) in shapes),
+        max(8 * f2g.shape[1] for f2g in f2gs),
+    )
+    wp_max = max(wps)
+    qt = q // tq
+
+    idxs, fracs = [], []
+    cq = coords_flat.reshape(b * q, 2)
+    for lvl, (h2, w2) in enumerate(shapes):
+        idx_l, frac_l = _level_indices(cq, lvl, h2, w2, hp, wps[lvl], radius)
+        idxs.append(idx_l.reshape(qt, tq, 5))
+        fracs.append(frac_l.reshape(qt, tq, 2))
+    # pack levels along the ROW dim per query tile (2-D arrays, taller
+    # blocks): SMEM/VMEM refs cannot be view-sliced along a sub-128 minor
+    # dim, so the kernel indexes rows with a static per-level offset instead
+    idx = jnp.stack(idxs, 1).reshape(qt * nl * tq, 5)
+    frac = jnp.stack(fracs, 1).reshape(qt * nl * tq, 2)
+    s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
+
+    level_meta = tuple(
+        (h2, w2, wps[lvl], f2gs[lvl].shape[1])
+        for lvl, (h2, w2) in enumerate(shapes)
+    )
+    kernel = functools.partial(
+        _fused_all_kernel,
+        tq=tq, sup=sup, cht=cht, level_meta=level_meta,
+        scale_recip=_scale_recip_of(c), highest=f1.dtype == jnp.float32,
+    )
+    f2_specs = [
+        pl.BlockSpec(
+            (1,) + f2g.shape[1:], lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for f2g in f2gs
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(qt,),
+        in_specs=[
+            pl.BlockSpec((nl * tq, 5), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nl * tq, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            *f2_specs,
+            pl.BlockSpec((sup, 16, 4 * cht), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, nl * cht), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((q, nl * cht), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, hp, wp_max), jnp.float32),
+            pltpu.VMEM((tq, sup, 16), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx, frac, f1, *f2gs, s_mat)
+    return out.reshape(b, q, nl * cht)
+
+
+# ---------------- per-level kernel (batched / streaming fallback) -----------
+
+
+def _fused_level_kernel(
+    idx_ref, frac_ref, f1_ref, f2_ref, s_ref, out_ref, plane_ref, sup_ref,
+    *, tq, sup, cht, h2, w2, wp, gch, scale_recip, highest,
+):
+    yc = pl.program_id(2)
+    nyc = pl.num_programs(2)
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    _plane_dots(
+        f1_ref[0], f2_ref.at[0], plane_ref,
+        ngr=gch, g_base=yc * gch * 8, w2=w2, wp=wp,
+        scale_recip=scale_recip, precision=precision, tq=tq,
+    )
+
+    @pl.when(yc == nyc - 1)
+    def _():
+        _extract_and_combine(
+            idx_ref, frac_ref, s_ref, plane_ref, sup_ref, out_ref,
+            tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp, ch0=0,
+            precision=precision,
+        )
+
+
+def _pick_gch(b: int, g: int, c: int, wp8: int, itemsize: int) -> int:
+    """Row-groups of fmap2 per VMEM chunk: whole plane when it fits the
+    scoped budget, else one 8-row group per grid step.
+
+    The budget depends on the BATCH: at b == 1 (and nyc == 1) the f2 block's
+    index map is constant across grid steps, so Mosaic single-buffers it; any
+    batch grid dimension makes the block revolve and DOUBLE-buffer, which blew
+    the 16 MB scoped-vmem limit at 448x1024 B>=4."""
+    budget = (6 if b == 1 else 2) * 1024 * 1024
+    if g * c * wp8 * itemsize <= budget:
+        return g
+    return 1
+
+
+def _fused_level(
+    f1, f2g, coords_lvl, hw, radius, cht, dy_major, out_dtype, interpret=None,
+):
+    """One level's lookup: [B*Q, CHT]. coords_lvl is already level-scaled."""
     interpret = _auto_interpret(interpret)
     b, q, c = f1.shape
     h2, w2 = hw
-    h2c = f2t.shape[1]
+    g_total = f2g.shape[1]
+    wp = f2g.shape[-1] // 8
     sup = 2 * radius + 2
-    hp = plane_height(h2)
-    wp = _round_up(w2, 128)
-    # Pad the query axis to a 128-multiple: recipe crops give q with no large
-    # power-of-two divisor (400x720 -> q=4500 -> tq=4), which both violates
-    # Mosaic's (8,128) block-divisibility rule on the SMEM idx block and
-    # wastes the tile. Padded queries carry coords (0,0) -> valid indices.
-    q_real = q
-    q = _round_up(q, 128)
-    if q != q_real:
-        f1 = jnp.pad(f1, ((0, 0), (0, q - q_real), (0, 0)))
-        coords_flat = jnp.pad(
-            coords_flat.reshape(b, q_real, 2),
-            ((0, 0), (0, q - q_real), (0, 0)),
-        )
+    hp = max(plane_height(h2), 8 * g_total)
     tq = _pick_tq(q)
-    ych = min(_pick_ych(b, h2, c, w2, f2t.dtype.itemsize), h2c)
-    assert h2c % ych == 0, (h2c, ych)
-    nyc = h2c // ych
-    assert nyc * ych <= hp, (nyc, ych, hp)
+    gch = min(_pick_gch(b, g_total, c, 8 * wp, f2g.dtype.itemsize), g_total)
+    assert g_total % gch == 0, (g_total, gch)
+    nyc = g_total // gch
     qt = q // tq
 
     # The slab is ALWAYS f32: the dynamic rotates are 32-bit only (the band
     # would be upcast in-register regardless), and a bf16 slab's (16, 128)
-    # tiling breaks the 8-aligned band-slice proof Mosaic needs
-    # ("cannot statically prove that index ... is a multiple of 8") as well
-    # as small-w2 row inserts (vector<8x6xbf16> shape cast). The bf16 perf
-    # path still reads bf16 fmap FACTORS from HBM — the slab never leaves
-    # VMEM, so its dtype costs capacity, not bandwidth.
-    plane_dtype = jnp.float32
-    plane_isz = jnp.dtype(plane_dtype).itemsize
-    while tq > 8 and tq * hp * wp * plane_isz > _VMEM_BUDGET - (
-        ych * c * w2 * f2t.dtype.itemsize
+    # tiling breaks the 8-aligned band-slice proof Mosaic needs as well as
+    # small-w2 row inserts. The bf16 perf path still reads bf16 fmap FACTORS
+    # from HBM — the slab never leaves VMEM, so its dtype costs capacity,
+    # not bandwidth.
+    while tq > 8 and tq * hp * wp * 4 > _VMEM_BUDGET - (
+        gch * c * 8 * wp * f2g.dtype.itemsize
     ):
         tq //= 2
         qt = q // tq
 
     idx, frac = _level_indices(
-        coords_flat.reshape(b * q, 2), 0, h2, w2, hp, wp, radius
+        coords_lvl.reshape(b * q, 2), 0, h2, w2, hp, wp, radius
     )
-    s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, ch_off, dy_major))
-
-    scale_recip = None
-    inv = 1.0 / math.sqrt(c)
-    if math.sqrt(c) == int(math.sqrt(c)) and (int(math.sqrt(c)) & (int(math.sqrt(c)) - 1)) == 0:
-        scale_recip = inv  # power-of-two sqrt: multiply is bit-exact division
+    s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
     kernel = functools.partial(
         _fused_level_kernel,
-        tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp, ych=ych,
-        scale_recip=scale_recip, highest=f1.dtype == jnp.float32,
+        tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp, gch=gch,
+        scale_recip=_scale_recip_of(c), highest=f1.dtype == jnp.float32,
     )
     out = pl.pallas_call(
         kernel,
@@ -317,7 +497,7 @@ def _fused_level(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, ych, c, w2), lambda bi, qi, yi: (bi, yi, 0, 0),
+                (1, gch, c, 8 * wp), lambda bi, qi, yi: (bi, yi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -331,39 +511,57 @@ def _fused_level(
         ),
         out_shape=jax.ShapeDtypeStruct((b * q, cht), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((tq, hp, wp), plane_dtype),
+            pltpu.VMEM((tq, hp, wp), jnp.float32),
             pltpu.VMEM((tq, sup, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, frac, f1, f2t, s_mat)
-    if q != q_real:
-        out = out.reshape(b, q, cht)[:, :q_real].reshape(b * q_real, cht)
+    )(idx, frac, f1, f2g, s_mat)
     return out
 
 
 def _num_levels(pyr: FusedCorrPyramid) -> int:
-    return len(pyr.f2ts)
+    return len(pyr.f2gs)
 
 
 def _lookup_impl(
-    f1, f2ts, shapes, h1w1, radius, coords,
+    f1, f2gs, shapes, h1w1, radius, coords,
     plane_dtype, out_dtype, dy_major, interpret=None,
 ):
-    b, q, _ = f1.shape
+    b, q0, _ = f1.shape
     h1, w1 = h1w1
     k = 2 * radius + 1
-    coords_flat = coords.reshape(b, q, 2)
-    outs = []
-    for lvl, (f2t, hw) in enumerate(zip(f2ts, shapes)):
-        cl = coords_flat / (2.0 ** lvl)
-        outs.append(
-            _fused_level(
-                f1, f2t, cl, hw, radius, k * k, 0, dy_major,
-                plane_dtype, out_dtype, interpret,
-            )
+    cht = k * k
+    nl = len(f2gs)
+    coords_flat = coords.reshape(b, q0, 2)
+    f1, coords_flat, q_real, q = _pad_queries(f1, coords_flat)
+
+    if b == 1:
+        wps = [f2g.shape[-1] // 8 for f2g in f2gs]
+        hp = max(
+            max(plane_height(h2) for (h2, _w) in shapes),
+            max(8 * f2g.shape[1] for f2g in f2gs),
         )
+        f2_bytes = sum(
+            int(np.prod(f2g.shape)) * f2g.dtype.itemsize for f2g in f2gs
+        )
+        tq = _merged_tq(q, hp, max(wps), f2_bytes)
+        if tq is not None:
+            out = _fused_all_levels(
+                f1, f2gs, shapes, coords_flat, radius, cht, dy_major,
+                out_dtype, tq, interpret,
+            )
+            out = out[:, :q_real]
+            return out.reshape(b, h1, w1, nl * cht)
+
+    outs = []
+    for lvl, (f2g, hw) in enumerate(zip(f2gs, shapes)):
+        cl = coords_flat / (2.0 ** lvl)
+        o = _fused_level(
+            f1, f2g, cl, hw, radius, cht, dy_major, out_dtype, interpret
+        )
+        outs.append(o.reshape(b, q, cht)[:, :q_real])
     # level-major channel concat (reference pyramid layout, ops/corr.py)
-    return jnp.concatenate(outs, axis=-1).reshape(b, h1, w1, len(f2ts) * k * k)
+    return jnp.concatenate(outs, axis=-1).reshape(b, h1, w1, nl * cht)
 
 
 # ---- custom VJP: direct transposed einsums, no forward recompute -----------
@@ -412,48 +610,43 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _lookup(f1, f2ts, shapes, h1w1, radius, plane_dtype_name, dy_major,
+def _lookup(f1, f2gs, shapes, h1w1, radius, plane_dtype_name, dy_major,
             out_dtype_name, coords):
     return _lookup_impl(
-        f1, f2ts, shapes, h1w1, radius, coords,
+        f1, f2gs, shapes, h1w1, radius, coords,
         jnp.dtype(plane_dtype_name), jnp.dtype(out_dtype_name), dy_major,
     )
 
 
-def _lookup_fwd(f1, f2ts, shapes, h1w1, radius, plane_dtype_name, dy_major,
+def _lookup_fwd(f1, f2gs, shapes, h1w1, radius, plane_dtype_name, dy_major,
                 out_dtype_name, coords):
     out = _lookup_impl(
-        f1, f2ts, shapes, h1w1, radius, coords,
+        f1, f2gs, shapes, h1w1, radius, coords,
         jnp.dtype(plane_dtype_name), jnp.dtype(out_dtype_name), dy_major,
     )
-    return out, (f1, f2ts, coords)
+    return out, (f1, f2gs, coords)
 
 
 def _lookup_bwd(shapes, h1w1, radius, plane_dtype_name, dy_major,
                 out_dtype_name, res, g):
-    f1, f2ts, coords = res
+    f1, f2gs, coords = res
     b, q, c = f1.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
     d_vols = lookup_vjp_dvols(g, coords, shapes, radius, dy_major)
     d_f1 = jnp.zeros((b, q, c), jnp.float32)
-    d_f2ts = []
-    for (h2, w2), f2t, d_vol in zip(shapes, f2ts, d_vols):
-        h2c = f2t.shape[1]
+    d_f2gs = []
+    for (h2, w2), f2g, d_vol in zip(shapes, f2gs, d_vols):
+        f2t = _ungroup_f2(f2g, h2, w2).astype(jnp.float32)  # [B, h2, C, w2]
         # d_plane = scale * d_vol; then the two transposed factor products
         d_f1 += scale * jnp.einsum(
-            "bqyx,bycx->bqc", d_vol, f2t[:, :h2].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+            "bqyx,bycx->bqc", d_vol, f2t, preferred_element_type=jnp.float32
         )
         d_f2 = scale * jnp.einsum(
             "bqyx,bqc->bycx", d_vol, f1.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        d_f2ts.append(
-            jnp.pad(d_f2, ((0, 0), (0, h2c - h2), (0, 0), (0, 0))).astype(
-                f2t.dtype
-            )
-        )
-    return d_f1.astype(f1.dtype), d_f2ts, jnp.zeros_like(coords)
+        d_f2gs.append(_regroup_d_f2(d_f2, f2g))
+    return d_f1.astype(f1.dtype), d_f2gs, jnp.zeros_like(coords)
 
 
 _lookup.defvjp(_lookup_fwd, _lookup_bwd)
@@ -470,7 +663,7 @@ def corr_pyramid_lookup_fused(
     """Volume-free lookup on a FusedCorrPyramid: [B, h1, w1, L*(2r+1)^2].
 
     ``plane_dtype`` is accepted for API stability but the in-VMEM slab is
-    always f32 (see _fused_level — 32-bit rotates + Mosaic bf16 tiling);
+    always f32 (32-bit rotates + Mosaic bf16 tiling constraints);
     ``out_dtype`` is the emitted window-channel dtype."""
     assert radius == pyramid.radius, (radius, pyramid.radius)
     if plane_dtype is None:
@@ -479,7 +672,7 @@ def corr_pyramid_lookup_fused(
         )
     return _lookup(
         pyramid.f1,
-        list(pyramid.f2ts),
+        list(pyramid.f2gs),
         pyramid.shapes,
         pyramid.h1w1,
         radius,

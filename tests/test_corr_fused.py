@@ -104,15 +104,29 @@ def test_vjp_matches_oracle_autodiff(dy_major):
 
 
 def test_streaming_chunks_match_resident(monkeypatch):
-    """Force the y-chunk streaming path (used when fmap2 exceeds VMEM: the
-    plane slab accumulates over grid dim 2) and check it agrees with the
-    oracle."""
+    """Force the per-level row-group streaming path (used when fmap2 exceeds
+    VMEM: the plane slab accumulates over grid dim 2) and check it agrees
+    with the oracle. The merged batch-1 kernel is disabled so the fallback
+    actually runs."""
     f1, f2, coords = _setup(c=16)
     vols = build_corr_pyramid_from_fmaps(f1, f2, 1, jnp.float32)
     ref = corr_pyramid_lookup(vols, coords, R)[..., : 81]
-    monkeypatch.setattr(cf, "_pick_ych", lambda *a, **k: 8)
+    monkeypatch.setattr(cf, "_merged_tq", lambda *a, **k: None)
+    monkeypatch.setattr(cf, "_pick_gch", lambda *a, **k: 1)
     pyr = cf.build_fused_pyramid(f1, f2, 1, R)
     got = cf.corr_pyramid_lookup_fused(pyr, coords, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_per_level_fallback_matches(monkeypatch):
+    """Batched inputs take the per-level fallback; also force it at b=1 to
+    pin fallback-vs-merged agreement."""
+    f1, f2, coords = _setup(c=16)
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 4, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R, dy_major=True)
+    monkeypatch.setattr(cf, "_merged_tq", lambda *a, **k: None)
+    pyr = cf.build_fused_pyramid(f1, f2, 4, R)
+    got = cf.corr_pyramid_lookup_fused(pyr, coords, R, dy_major=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
