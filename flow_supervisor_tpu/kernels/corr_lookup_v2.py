@@ -82,11 +82,20 @@ class PaddedPyramid:
 
 
 def pad_plane(vol: jax.Array, radius: int) -> jax.Array:
-    """[B, h1, w1, h2, w2] volume -> [BQ, Hp, w2] bottom-padded plane."""
+    """[B, h1, w1, h2, w2] volume -> [BQp, Hp, w2] bottom-padded plane.
+
+    The query axis is padded to a 128-multiple as well: eval shapes like
+    KITTI's 376x1248 give BQ = 7332 whose largest small divisor is 4, which
+    would collapse the kernel's query tile (and Mosaic's block divisibility)
+    — padded queries cost one zero block per plane and are sliced off the
+    lookup output."""
     b, h1, w1, h2, w2 = vol.shape
     bq = b * h1 * w1
+    bqp = _round_up(bq, 128)
     hp = plane_height(h2)
-    return jnp.pad(vol.reshape(bq, h2, w2), ((0, 0), (0, hp - h2), (0, 0)))
+    return jnp.pad(
+        vol.reshape(bq, h2, w2), ((0, bqp - bq), (0, hp - h2), (0, 0))
+    )
 
 
 def build_padded_pyramid(
@@ -149,11 +158,15 @@ def _level_support(plane, hw, coords_flat, radius, interpret=None):
     interpret = _auto_interpret(interpret)
     h2, w2 = hw
     sup = 2 * radius + 2
-    bq, hp, wp = plane.shape
+    bq = coords_flat.shape[0]
+    bqp, hp, wp = plane.shape
     assert wp == w2, (wp, w2)
-    tq = _pick_tq(bq)
+    assert bqp >= bq, (bqp, bq)
+    tq = _pick_tq(bqp)
     wp_pad = _round_up(w2, 128)
 
+    if bqp != bq:
+        coords_flat = jnp.pad(coords_flat, ((0, bqp - bq), (0, 0)))
     fl = jnp.floor(coords_flat)
     frac = (coords_flat - fl).astype(jnp.float32)
     base = fl.astype(jnp.int32) - radius
@@ -170,7 +183,7 @@ def _level_support(plane, hw, coords_flat, radius, interpret=None):
         functools.partial(
             _window_kernel, tq=tq, sup=sup, h2=h2, w2=w2, wp_pad=wp_pad
         ),
-        grid=(bq // tq,),
+        grid=(bqp // tq,),
         in_specs=[
             pl.BlockSpec((tq, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -178,11 +191,11 @@ def _level_support(plane, hw, coords_flat, radius, interpret=None):
         out_specs=pl.BlockSpec(
             (tq, sup, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bq, sup, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bqp, sup, 16), jnp.float32),
         scratch_shapes=[pltpu.VMEM((16, wp_pad), jnp.float32)],
         interpret=interpret,
     )(idx, plane)
-    return out, frac
+    return out[:bq], frac[:bq]
 
 
 def _combine(support, frac, k):
@@ -247,10 +260,11 @@ def _lookup_bwd(shapes, radius, dy_major, res, g):
     d_planes = []
     for (h2, w2), dv, tok in zip(shapes, d_vols, dtype_tokens):
         bq = dv.shape[0] * dv.shape[1]
+        bqp = _round_up(bq, 128)  # mirror pad_plane's query-axis padding
         hp = plane_height(h2)
         d_planes.append(
             jnp.pad(
-                dv.reshape(bq, h2, w2), ((0, 0), (0, hp - h2), (0, 0))
+                dv.reshape(bq, h2, w2), ((0, bqp - bq), (0, hp - h2), (0, 0))
             ).astype(tok.dtype)
         )
     return d_planes, jnp.zeros_like(coords)

@@ -71,6 +71,10 @@ class RAFTConfig:
     # ops/corr.py) elsewhere, where a Pallas kernel would run interpreted.
     # "pallas" selects the materialized-plane slice+roll kernel
     # (kernels/corr_lookup_v2.py), kept for A/B and HBM-rich shapes.
+    # "plane" materializes the planes once per forward like "pallas" but
+    # finishes extraction + bilinear combine inside one pallas call per lookup
+    # (kernels/corr_plane.py) — no per-iteration recompute dots, no XLA-side
+    # combine.
     lookup_backend: str = "auto"
     # emit corr window channels dy-major and fold the reference's dx-major
     # order into the motion encoder's first 1x1 conv weights (corr_perm) —
@@ -240,6 +244,15 @@ class RAFT(nn.Module):
                     corr_pyramid, coords1, mdl.cfg.corr_radius,
                     dy_major=mdl.cfg.dy_major_corr,
                 )
+            elif mdl.cfg.lookup_backend == "plane":
+                from flow_supervisor_tpu.kernels.corr_plane import (
+                    corr_pyramid_lookup_plane,
+                )
+
+                corr = corr_pyramid_lookup_plane(
+                    corr_pyramid, coords1, mdl.cfg.corr_radius,
+                    dy_major=mdl.cfg.dy_major_corr,
+                )
             elif mdl.cfg.lookup_backend == "fused":
                 from flow_supervisor_tpu.kernels.corr_fused import (
                     corr_pyramid_lookup_fused,
@@ -330,7 +343,7 @@ class RAFT(nn.Module):
         With lookup_backend="pallas" the pyramid is stored as zero-padded
         per-query planes (padded ONCE per forward) for the fused window kernel.
         """
-        if self.cfg.lookup_backend == "pallas":
+        if self.cfg.lookup_backend in ("pallas", "plane"):
             from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
                 build_padded_pyramid,
             )

@@ -1,0 +1,129 @@
+"""corr_plane (materialized-plane lookup with in-kernel combine) vs the
+einsum oracle.
+
+On CPU the kernel runs in interpret mode; on TPU it is compiled. Must agree
+with the materialized-volume one-hot-einsum oracle (ops/corr.py) everywhere:
+partially and fully out-of-bounds windows, both channel orders, bf16 planes,
+query counts that are not 128-divisible (KITTI-class shapes), and gradients
+w.r.t. the planes (the closed-form VJP shared with corr_lookup_v2).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flow_supervisor_tpu.kernels import corr_plane as cp
+from flow_supervisor_tpu.kernels.corr_lookup_v2 import build_padded_pyramid
+from flow_supervisor_tpu.ops.corr import (
+    build_corr_pyramid_from_fmaps,
+    corr_pyramid_lookup,
+)
+
+R = 4
+
+
+def _setup(c=16, b=1, h8=8, w8=16, seed=0):
+    rng = np.random.RandomState(seed)
+    f1 = jnp.asarray(rng.randn(b, h8, w8, c), jnp.float32)
+    f2 = jnp.asarray(rng.randn(b, h8, w8, c), jnp.float32)
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-15, w8 + 15, (b, h8, w8)),
+             rng.uniform(-15, h8 + 15, (b, h8, w8))], -1,
+        ),
+        jnp.float32,
+    )
+    return f1, f2, coords
+
+
+@pytest.mark.parametrize("dy_major", [False, True])
+def test_matches_einsum_oracle(dy_major):
+    f1, f2, coords = _setup()
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 4, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R, dy_major=dy_major)
+    pyr = build_padded_pyramid(f1, f2, 4, R)
+    got = cp.corr_pyramid_lookup_plane(pyr, coords, R, dy_major=dy_major)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_batched():
+    f1a, f2a, ca = _setup(seed=1)
+    f1b, f2b, cb = _setup(seed=2)
+    f1 = jnp.concatenate([f1a, f1b])
+    f2 = jnp.concatenate([f2a, f2b])
+    coords = jnp.concatenate([ca, cb])
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 2, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R)
+    pyr = build_padded_pyramid(f1, f2, 2, R)
+    got = cp.corr_pyramid_lookup_plane(pyr, coords, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_query_count_not_pow2_divisible():
+    """KITTI-class query counts (no large power-of-two divisor): the pyramid
+    pads BQ to a 128-multiple at build time and the lookup slices it back."""
+    f1, f2, coords = _setup(h8=5, w8=9)  # q = 45
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 4, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R, dy_major=True)
+    pyr = build_padded_pyramid(f1, f2, 4, R)
+    assert pyr.planes[0].shape[0] == 128  # padded query axis
+    got = cp.corr_pyramid_lookup_plane(pyr, coords, R, dy_major=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bf16_planes():
+    f1, f2, coords = _setup(c=32)
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 1, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R)[..., :81]
+    pyr = build_padded_pyramid(f1, f2, 1, R, out_dtype=jnp.bfloat16)
+    assert pyr.planes[0].dtype == jnp.bfloat16
+    got = cp.corr_pyramid_lookup_plane(pyr, coords, R)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
+
+
+@pytest.mark.parametrize("dy_major", [False, True])
+def test_vjp_matches_oracle_autodiff(dy_major):
+    """d(planes) agrees with autodiff through the materialized-volume oracle;
+    closed-form (nothing of the forward re-runs)."""
+    f1, f2, coords = _setup(c=16)
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(1, 8, 16, 2 * 81), jnp.float32
+    )
+
+    def oracle(f1_, f2_):
+        vols = build_corr_pyramid_from_fmaps(f1_, f2_, 2, jnp.float32)
+        return jnp.vdot(
+            corr_pyramid_lookup(vols, coords, R, dy_major=dy_major), g
+        )
+
+    def ours(f1_, f2_):
+        pyr = build_padded_pyramid(f1_, f2_, 2, R)
+        return jnp.vdot(
+            cp.corr_pyramid_lookup_plane(pyr, coords, R, dy_major=dy_major), g
+        )
+
+    do1, do2 = jax.grad(oracle, argnums=(0, 1))(f1, f2)
+    dm1, dm2 = jax.grad(ours, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(dm1), np.asarray(do1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dm2), np.asarray(do2), atol=2e-4)
+
+
+def test_model_forward_with_plane_backend():
+    """RAFT forward with lookup_backend='plane' matches the einsum backend."""
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    outs = {}
+    for backend in ("einsum", "plane"):
+        cfg = RAFTConfig(iters=2, lookup_backend=backend).resolved()
+        model = RAFT(cfg)
+        v = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+        outs[backend] = model.apply(v, img1, img2, train=False)["flow_up"][-1]
+    np.testing.assert_allclose(
+        np.asarray(outs["plane"]), np.asarray(outs["einsum"]),
+        atol=5e-4, rtol=0,
+    )
