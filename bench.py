@@ -51,13 +51,18 @@ METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 # - pallas/fused UNROLLED: 48 pallas lowerings exceed the remote compile
 #   service's patience (>8 min, killed) — not benchable, not deployable.
 # - fused scan B=1 post stripe/roll/qpad optimizations: 26.8 pairs/sec,
-#   41s compile — best measured config AND cheapest compile, so it opens.
+#   41s compile.
+# - plane scan (materialize-once planes + in-kernel combine): B=1 32.0 /
+#   B=4 35.3 / B=8 32.5 pairs/sec — the only backend that GAINS from
+#   batching (the per-query extraction loop amortizes against bigger plane
+#   dots); B=4 is the measured sweet spot and opens the ladder. fused stays
+#   as the memory-scaling fallback (never materializes the planes).
 LADDER = [
+    ("plane", 4, True),
+    ("plane", 1, True),
     ("fused", 1, True),
     ("einsum", 1, False),
-    ("fused", 4, True),
     ("fused", 8, True),
-    ("einsum", 4, False),
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))
 PER_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))

@@ -83,11 +83,18 @@ class Evaluator:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = make_space_mesh(space_parallel)
-            if getattr(model.cfg, "lookup_backend", "einsum") != "einsum":
-                # the pallas kernel would need a shard_map wrapper; the einsum
-                # lookup shards transparently under XLA SPMD
+            if (
+                getattr(model.cfg, "lookup_backend", "einsum") != "einsum"
+                or getattr(model.cfg, "fused_norm", False)
+            ):
+                # pure-XLA ops only: the pallas lookup would need a shard_map
+                # wrapper and the fused instance norm's spatial mean must
+                # become a cross-device collective; the einsum lookup and XLA
+                # norm shard transparently under SPMD
                 model = type(model)(
-                    _dc.replace(model.cfg, lookup_backend="einsum")
+                    _dc.replace(
+                        model.cfg, lookup_backend="einsum", fused_norm=False
+                    )
                 )
                 self.model = model
             img_sh = NamedSharding(mesh, P(None, SPACE_AXIS, None, None))

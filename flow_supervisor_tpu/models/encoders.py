@@ -24,17 +24,19 @@ class ResidualBlock(nn.Module):
     norm: str = "batch"
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ng, fused = self.planes // 8, self.fused_norm
         y = ExtractorConv(self.in_planes, self.planes, 3, self.stride, self.dtype)(x)
-        y = nn.relu(Norm(self.norm, self.dtype, self.planes // 8)(y, train))
+        y = Norm(self.norm, self.dtype, ng, fused)(y, train, relu=True)
         y = ExtractorConv(self.planes, self.planes, 3, 1, self.dtype)(y)
-        y = nn.relu(Norm(self.norm, self.dtype, self.planes // 8)(y, train))
+        y = Norm(self.norm, self.dtype, ng, fused)(y, train, relu=True)
 
         if self.stride != 1:
             x = ExtractorConv(self.in_planes, self.planes, 1, self.stride, self.dtype)(x)
-            x = Norm(self.norm, self.dtype, self.planes // 8)(x, train)
+            x = Norm(self.norm, self.dtype, ng, fused)(x, train)
         return nn.relu(x + y)
 
 
@@ -44,21 +46,22 @@ class BottleneckBlock(nn.Module):
     norm: str = "group"
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.planes // 4
-        ng = self.planes // 8
+        ng, fused = self.planes // 8, self.fused_norm
         y = ExtractorConv(self.in_planes, hidden, 1, 1, self.dtype)(x)
-        y = nn.relu(Norm(self.norm, self.dtype, ng)(y, train))
+        y = Norm(self.norm, self.dtype, ng, fused)(y, train, relu=True)
         y = ExtractorConv(hidden, hidden, 3, self.stride, self.dtype)(y)
-        y = nn.relu(Norm(self.norm, self.dtype, ng)(y, train))
+        y = Norm(self.norm, self.dtype, ng, fused)(y, train, relu=True)
         y = ExtractorConv(hidden, self.planes, 1, 1, self.dtype)(y)
-        y = nn.relu(Norm(self.norm, self.dtype, ng)(y, train))
+        y = Norm(self.norm, self.dtype, ng, fused)(y, train, relu=True)
 
         if self.stride != 1:
             x = ExtractorConv(self.in_planes, self.planes, 1, self.stride, self.dtype)(x)
-            x = Norm(self.norm, self.dtype, ng)(x, train)
+            x = Norm(self.norm, self.dtype, ng, fused)(x, train)
         return nn.relu(x + y)
 
 
@@ -67,16 +70,19 @@ class BasicEncoder(nn.Module):
     norm: str = "none"
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        fused = self.fused_norm
         x = ExtractorConv(3, 64, 7, 2, self.dtype)(x)
-        x = nn.relu(Norm(self.norm, self.dtype, 8)(x, train))
+        x = Norm(self.norm, self.dtype, 8, fused)(x, train, relu=True)
 
         in_planes = 64
         for dim, stride in ((64, 1), (96, 2), (128, 2)):
-            x = ResidualBlock(in_planes, dim, self.norm, stride, self.dtype)(x, train)
-            x = ResidualBlock(dim, dim, self.norm, 1, self.dtype)(x, train)
+            x = ResidualBlock(in_planes, dim, self.norm, stride, self.dtype,
+                              fused)(x, train)
+            x = ResidualBlock(dim, dim, self.norm, 1, self.dtype, fused)(x, train)
             in_planes = dim
 
         x = ExtractorConv(128, self.output_dim, 1, 1, self.dtype)(x)
@@ -90,16 +96,20 @@ class SmallEncoder(nn.Module):
     norm: str = "batch"
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        fused = self.fused_norm
         x = ExtractorConv(3, 32, 7, 2, self.dtype)(x)
-        x = nn.relu(Norm(self.norm, self.dtype, 8)(x, train))
+        x = Norm(self.norm, self.dtype, 8, fused)(x, train, relu=True)
 
         in_planes = 32
         for dim, stride in ((32, 1), (64, 2), (96, 2)):
-            x = BottleneckBlock(in_planes, dim, self.norm, stride, self.dtype)(x, train)
-            x = BottleneckBlock(dim, dim, self.norm, 1, self.dtype)(x, train)
+            x = BottleneckBlock(in_planes, dim, self.norm, stride, self.dtype,
+                                fused)(x, train)
+            x = BottleneckBlock(dim, dim, self.norm, 1, self.dtype,
+                                fused)(x, train)
             in_planes = dim
 
         return ExtractorConv(96, self.output_dim, 1, 1, self.dtype)(x)

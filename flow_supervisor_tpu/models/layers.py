@@ -355,14 +355,34 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 class Norm(nn.Module):
-    """Dispatch over the reference's norm_fn choices: instance / batch / group / none."""
+    """Dispatch over the reference's norm_fn choices: instance / batch / group
+    / none.
+
+    ``relu=True`` applies the trailing activation INSIDE the norm: on TPU
+    backends the instance-norm + relu pair lowers to a two-pass pallas kernel
+    (kernels/norm.py) — the XLA lowering's reduce/normalize layout pivots cost
+    ~18.7 ms/fwd at 448x1024 (measured by interleaved A/B,
+    tools/bench_norm_ab.py) vs ~1 ms bandwidth-bound. ``fused=False`` keeps
+    the pure-XLA path (required under SPMD sharding, where the spatial mean
+    must become a cross-device collective — parallel/spatial.py)."""
 
     kind: str
     dtype: jnp.dtype = jnp.float32
     num_groups: int = 8
+    fused: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, relu: bool = False):
+        if self.kind == "instance" and self.fused and (
+            jax.default_backend() in ("tpu", "axon")
+        ):
+            from flow_supervisor_tpu.kernels.norm import instance_norm_fused
+
+            return instance_norm_fused(x, relu=relu)
+        y = self._norm(x, train)
+        return nn.relu(y) if relu else y
+
+    def _norm(self, x, train):
         if self.kind == "none":
             return x
         if self.kind == "instance":

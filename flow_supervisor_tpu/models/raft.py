@@ -81,6 +81,12 @@ class RAFTConfig:
     # skips a 7 ms/fwd channel transpose; numerics identical up to fp
     # summation order. Off = reference channel order end to end.
     dy_major_corr: bool = True
+    # pallas instance-norm(+relu) in the encoders on TPU backends
+    # (kernels/norm.py; ~18.7 ms/fwd of XLA layout pivots measured at
+    # 448x1024). parallel/spatial.py turns this off: under SPMD the spatial
+    # mean must become a cross-device collective, which only the XLA lowering
+    # gets automatically.
+    fused_norm: bool = True
 
     @property
     def hidden_dim(self) -> int:
@@ -117,8 +123,12 @@ class RAFT(nn.Module):
         cfg = self.cfg
         hdim, cdim = cfg.hidden_dim, cfg.context_dim
         if cfg.small:
-            self.fnet = SmallEncoder(128, "instance", cfg.dropout, cfg.dtype)
-            self.cnet = SmallEncoder(hdim + cdim, "none", cfg.dropout, cfg.dtype)
+            self.fnet = SmallEncoder(
+                128, "instance", cfg.dropout, cfg.dtype, cfg.fused_norm
+            )
+            self.cnet = SmallEncoder(
+                hdim + cdim, "none", cfg.dropout, cfg.dtype, cfg.fused_norm
+            )
             block = SmallUpdateBlock
             kwargs = dict(
                 hidden_dim=hdim,
@@ -128,8 +138,12 @@ class RAFT(nn.Module):
                 dy_major_corr=cfg.dy_major_corr,
             )
         else:
-            self.fnet = BasicEncoder(256, "instance", cfg.dropout, cfg.dtype)
-            self.cnet = BasicEncoder(hdim + cdim, "batch", cfg.dropout, cfg.dtype)
+            self.fnet = BasicEncoder(
+                256, "instance", cfg.dropout, cfg.dtype, cfg.fused_norm
+            )
+            self.cnet = BasicEncoder(
+                hdim + cdim, "batch", cfg.dropout, cfg.dtype, cfg.fused_norm
+            )
             if cfg.gma:
                 from flow_supervisor_tpu.models.gma import Attention, GMAUpdateBlock
 

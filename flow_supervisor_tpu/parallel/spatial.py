@@ -46,9 +46,17 @@ def spatial_forward(model, mesh: Mesh, train: bool = False):
     padding already rounds to a bucket; pass ``pad_bucket=8*n``).
     """
     n_space = mesh.shape[SPACE_AXIS]
-    if getattr(model.cfg, "lookup_backend", "einsum") != "einsum":
+    if (
+        getattr(model.cfg, "lookup_backend", "einsum") != "einsum"
+        or getattr(model.cfg, "fused_norm", False)
+    ):
+        # pure-XLA ops only: pallas custom-calls don't shard under SPMD, and
+        # the fused instance norm's spatial mean must become a cross-device
+        # collective (the XLA reduce gets one inserted automatically)
         model = type(model)(
-            dataclasses.replace(model.cfg, lookup_backend="einsum")
+            dataclasses.replace(
+                model.cfg, lookup_backend="einsum", fused_norm=False
+            )
         )
 
     img_sharding = NamedSharding(mesh, P(None, SPACE_AXIS, None, None))

@@ -14,12 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_chain(n, backend="einsum"):
+def build_chain(n, backend="einsum", scan=False, fused_norm=False, batch=1):
     from flow_supervisor_tpu.models import RAFT, RAFTConfig
 
     cfg = RAFTConfig(
         iters=12, dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16,
-        lookup_backend=backend,
+        lookup_backend=backend, scan_iters=scan, fused_norm=fused_norm,
     ).resolved()
     model = RAFT(cfg)
     variables = model.init(
@@ -50,26 +50,40 @@ def main():
 
     from flow_supervisor_tpu.models import layers
 
-    n = 24
+    backend = sys.argv[sys.argv.index("--backend") + 1] \
+        if "--backend" in sys.argv else "einsum"
+    scan = "--scan" in sys.argv
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else 1
+    # --fused: B side = pallas fused norm kernel (vs A = XLA norm). Default:
+    # B side = identity stub (measures the TOTAL norm-stack cost).
+    fused = "--fused" in sys.argv
+    n = max(4, 24 // batch)
     rng = np.random.RandomState(0)
-    shape = (1, 448, 1024, 3)
+    shape = (batch, 448, 1024, 3)
 
-    fn_a, v = build_chain(n)  # trace WITH real instance norms
+    fn_a, v = build_chain(n, backend, scan, False, batch)  # XLA norms
     x1 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
     x2 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
     t0 = time.perf_counter()
     print("A warm:", float(fn_a(v, x1, x2, jnp.float32(0))),
           f"({time.perf_counter()-t0:.0f}s)", flush=True)
 
-    real_norm = layers.instance_norm
-    layers.instance_norm = lambda x, eps=1e-5: x  # identity stub
-    try:
-        fn_b, _ = build_chain(n)  # traced under the stub
+    if fused:
+        fn_b, _ = build_chain(n, backend, scan, True, batch)
         t0 = time.perf_counter()
         print("B warm:", float(fn_b(v, x1, x2, jnp.float32(0))),
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
-    finally:
-        layers.instance_norm = real_norm
+    else:
+        real_norm = layers.instance_norm
+        layers.instance_norm = lambda x, eps=1e-5: x  # identity stub
+        try:
+            fn_b, _ = build_chain(n, backend, scan, False, batch)
+            t0 = time.perf_counter()
+            print("B warm:", float(fn_b(v, x1, x2, jnp.float32(0))),
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        finally:
+            layers.instance_norm = real_norm
 
     times = {"norm": [], "nonorm": []}
     for r in range(4):
