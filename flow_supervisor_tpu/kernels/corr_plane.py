@@ -1,7 +1,7 @@
 """Pallas TPU kernel: correlation lookup from MATERIALIZED padded planes with
-the in-kernel one-hot combine.
+the in-kernel one-hot combine AND in-kernel index math.
 
-Third lookup backend ("plane"), the B=1 inference speed path. The two existing
+Third lookup backend ("plane"), the inference speed path. The two existing
 backends bracket a trade-off:
 
 - corr_lookup_v2 ("pallas"): materializes the padded pyramid once per forward
@@ -19,8 +19,19 @@ and each lookup is ONE pallas call over all pyramid levels that extracts the
 (2r+2)x(2r+2) support with the proven slice+roll scheme and reduces it to
 window channels with the shared one-hot combine dots (corr_fused
 ._combine_matrix) — nothing leaves the kernel but the final [BQ, L*(2r+1)^2]
-window block. Per-lookup HBM traffic is the bf16 plane read (~190 MB at
-448x1024), with zero recompute dots and zero XLA-side combine.
+window block.
+
+The kernel's ONLY per-iteration input besides the planes is the raw coords
+array, fed twice (an SMEM view for per-query scalar index math, a VMEM view
+for the vectorized bilinear fractions). Moving the index math in-kernel was
+measured at -1.7 ms/fwd at 448x1024x12 (interleaved A/B vs the XLA-prologue
+revision, 32.9 vs 34.6 ms/fwd — tools/exp_plane_idx_ab.py): the XLA-side
+floor/clip/mod/stack ops ran on [BQ, 2]/[BQ, 5] tensors whose 2-5-wide minor
+dims waste 96% of each vector register; in-kernel the same math is ~15
+scalar-unit ops per query, issued alongside the VPU extraction. (An earlier
+"staticidx saves 13 ms" ablation was an artifact: constant indices make all
+12 lookups iteration-invariant, so XLA hoisted 11 of them out of the
+refinement loop.)
 
 Reference parity: same lookup semantics as raft/allfield.py:109-135
 (smurf_corr_block — per level (2r+1)^2 bilinear window, zero OOB) and the
@@ -56,11 +67,12 @@ __all__ = ["build_padded_pyramid", "corr_pyramid_lookup_plane"]
 
 
 def _plane_kernel(
-    idx_ref, frac_ref, *rest, tq, sup, cht, level_meta,
+    cs_ref, cv_ref, *rest, tq, sup, cht, level_meta, radius, highest,
 ):
-    """All levels of one query tile: slice+roll extraction from each level's
-    resident plane block, then the shared one-hot combine into the level's
-    channel stripe. level_meta: per level (h2, w2, wp_pad)."""
+    """All levels of one query tile: per-query scalar index math + slice+roll
+    extraction from each level's resident plane block, then the shared
+    one-hot combine into the level's channel stripe and the vectorized
+    bilinear lerp. level_meta: per level (h2, w2, hp, wp_pad)."""
     nl = len(level_meta)
     plane_refs = rest[:nl]
     s_ref = rest[nl]
@@ -69,14 +81,28 @@ def _plane_kernel(
     sup_ref = rest[nl + 3]
     iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
     iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
-    for lvl, (h2, w2, wp_pad) in enumerate(level_meta):
-        qoff = lvl * tq
+    cvec = cv_ref[...].astype(jnp.float32)  # [tq, 2]
+    for lvl, (h2, w2, hp, wp_pad) in enumerate(level_meta):
+        scale = 1.0 / (2.0 ** lvl)
         for q in range(tq):
-            by8 = pl.multiple_of(idx_ref[qoff + q, 0], 8)
-            sy = idx_ref[qoff + q, 1]
-            sx = idx_ref[qoff + q, 2]
-            by = idx_ref[qoff + q, 3]
-            bx = idx_ref[qoff + q, 4]
+            # scalar-unit index math (issued alongside the VPU extraction)
+            cx = cs_ref[q, 0] * scale
+            cy = cs_ref[q, 1] * scale
+            # scalar floor via trunc-cast + fixup (int cast truncates toward
+            # zero; coords may be negative)
+            tx = cx.astype(jnp.int32)
+            ty = cy.astype(jnp.int32)
+            bx = tx - (cx < tx.astype(jnp.float32)).astype(jnp.int32) - radius
+            by = ty - (cy < ty.astype(jnp.float32)).astype(jnp.int32) - radius
+            by = jnp.clip(by, -sup, h2)
+            bx = jnp.clip(bx, -sup, w2)
+            # clip-before-div keeps the floordiv nonnegative (trunc == floor)
+            by8 = pl.multiple_of(
+                jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp - BAND), 8
+            )
+            # operands are nonnegative by construction: rem == mod
+            sy = jax.lax.rem(BAND - (by - by8), BAND)
+            sx = jax.lax.rem(wp_pad - bx, wp_pad)
             # dynamic rotates are 32-bit only: upcast bf16 bands in-register
             band = plane_refs[lvl][q, pl.ds(by8, BAND), :].astype(jnp.float32)
             band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
@@ -95,17 +121,23 @@ def _plane_kernel(
             valid = (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
             # where (not multiply): wrapped/stale values may be anything
             sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
+        # one-hot selection dots: with f32 planes the MXU's default bf16
+        # input truncation costs ~4e-3 relative — force HIGHEST there
+        # (bf16 planes are already coarser than the truncation)
+        precision = jax.lax.Precision.HIGHEST if highest else None
         acc = jax.lax.dot_general(
             sup_ref[:, 0, :], s_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         for u in range(1, sup):
             acc += jax.lax.dot_general(
                 sup_ref[:, u, :], s_ref[u], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )
-        fx = frac_ref[qoff : qoff + tq, 0:1]
-        fy = frac_ref[qoff : qoff + tq, 1:2]
+        cl = cvec * scale
+        frac = cl - jnp.floor(cl)
+        fx = frac[:, 0:1]
+        fy = frac[:, 1:2]
         out = (
             ((1.0 - fy) * (1.0 - fx)) * acc[:, 0 * cht : 1 * cht]
             + ((1.0 - fy) * fx) * acc[:, 1 * cht : 2 * cht]
@@ -113,22 +145,6 @@ def _plane_kernel(
             + (fy * fx) * acc[:, 3 * cht : 4 * cht]
         )
         out_ref[:, lvl * cht : (lvl + 1) * cht] = out.astype(out_ref.dtype)
-
-
-def _level_indices(coords, lvl, h2, w2, hp, radius):
-    """Per-query slice/roll/mask indices (lane modulus fixed at 128)."""
-    sup = 2 * radius + 2
-    cl = coords / (2.0 ** lvl)
-    fl = jnp.floor(cl)
-    frac = (cl - fl).astype(jnp.float32)
-    base = fl.astype(jnp.int32) - radius
-    by = jnp.clip(base[:, 1], -sup, h2)
-    bx = jnp.clip(base[:, 0], -sup, w2)
-    by8 = jnp.clip((by // 8) * 8, 0, hp - BAND)
-    sy = jnp.mod(BAND - (by - by8), BAND)
-    wp_pad = _round_up(w2, 128)
-    sx = jnp.mod(wp_pad - bx, wp_pad)
-    return jnp.stack([by8, sy, sx, by, bx], axis=-1), frac
 
 
 def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
@@ -144,29 +160,23 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
     nl = len(planes)
     bqp = planes[0].shape[0]  # query axis padded to 128 by pad_plane
     assert bqp >= bq and bqp % 128 == 0, (bqp, bq)
-    tq = _pick_tq(bqp)
+    # interpret mode (CPU tests): the kernel body is retraced per op per
+    # query — a small tile keeps the trace tractable; result is tq-invariant
+    tq = _pick_tq(bqp, 8 if interpret else 128)
     qt = bqp // tq
-    cq = coords.reshape(bq, 2)
+    cq = coords.reshape(bq, 2).astype(jnp.float32)
     if bqp != bq:
         cq = jnp.pad(cq, ((0, bqp - bq), (0, 0)))
 
-    idxs, fracs = [], []
-    level_meta = []
-    for lvl, (plane, (h2, w2)) in enumerate(zip(planes, shapes)):
-        hp = plane.shape[1]
-        idx_l, frac_l = _level_indices(cq, lvl, h2, w2, hp, radius)
-        idxs.append(idx_l.reshape(qt, tq, 5))
-        fracs.append(frac_l.reshape(qt, tq, 2))
-        level_meta.append((h2, w2, _round_up(w2, 128)))
-    # pack levels along the ROW dim per query tile (corr_fused: SMEM/VMEM
-    # refs cannot be view-sliced along a sub-128 minor dim; the kernel indexes
-    # rows with a static per-level offset)
-    idx = jnp.stack(idxs, 1).reshape(qt * nl * tq, 5)
-    frac = jnp.stack(fracs, 1).reshape(qt * nl * tq, 2)
+    level_meta = tuple(
+        (h2, w2, plane.shape[1], _round_up(w2, 128))
+        for plane, (h2, w2) in zip(planes, shapes)
+    )
     s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
     kernel = functools.partial(
-        _plane_kernel, tq=tq, sup=sup, cht=cht, level_meta=tuple(level_meta),
+        _plane_kernel, tq=tq, sup=sup, cht=cht, level_meta=level_meta,
+        radius=radius, highest=planes[0].dtype == jnp.float32,
     )
     plane_specs = [
         pl.BlockSpec(
@@ -180,10 +190,10 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
         kernel,
         grid=(qt,),
         in_specs=[
-            pl.BlockSpec((nl * tq, 5), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((nl * tq, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # the SAME coords tile twice: an SMEM view for per-query scalar
+            # index math, a VMEM view for the vectorized bilinear fractions
+            pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *plane_specs,
             pl.BlockSpec((sup, 16, 4 * cht), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -193,11 +203,11 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
         scratch_shapes=[
             # lane-roll staging for sub-128-lane planes, sized for the widest
             # level (KITTI-class widths give w2 in (128, 256])
-            pltpu.VMEM((16, max(m[2] for m in level_meta)), jnp.float32),
+            pltpu.VMEM((16, max(m[3] for m in level_meta)), jnp.float32),
             pltpu.VMEM((tq, sup, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, frac, *planes, s_mat)
+    )(cq, cq, *planes, s_mat)
     return out[:bq].reshape(b, h1, w1, nl * cht)
 
 
@@ -248,7 +258,7 @@ def corr_pyramid_lookup_plane(
     dy_major: bool = False,
     out_dtype: Any = jnp.float32,
 ) -> jax.Array:
-    """Materialized-plane lookup with in-kernel combine:
+    """Materialized-plane lookup with in-kernel combine + index math:
     [B, h1, w1, L*(2r+1)^2]."""
     assert radius == pyramid.radius, (radius, pyramid.radius)
     return _lookup(
