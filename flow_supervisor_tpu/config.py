@@ -57,6 +57,13 @@ class ModelCfg:
     position_and_content: bool = False
     # precision
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
+    corr_dtype: str = "float32"  # correlation volume storage dtype
+    # correlation-lookup backend: auto | fused | plane | pallas | einsum
+    # (auto = fused on TPU, einsum elsewhere; see models/raft.py RAFTConfig)
+    lookup_backend: str = "auto"
+    # lax.scan over refinement iterations: 12x smaller HLO, far faster
+    # compiles (mandatory for pallas backends through remote-compile relays)
+    scan_iters: bool = False
 
 
 @dataclasses.dataclass

@@ -40,6 +40,9 @@ def build_model(cfg: ExperimentConfig) -> RAFT:
         position_only=mc.position_only,
         position_and_content=mc.position_and_content,
         dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32,
+        corr_dtype=jnp.bfloat16 if mc.corr_dtype == "bfloat16" else jnp.float32,
+        lookup_backend=mc.lookup_backend,
+        scan_iters=mc.scan_iters,
     ).resolved()
     return RAFT(rcfg)
 

@@ -79,3 +79,25 @@ def test_native_flag_spellings_still_work():
     args = p.parse_args(["ckpts/x", "--num_steps", "5", "--lr", "0.001"])
     cfg = config_from_args(args)
     assert cfg.train.num_steps == 5 and cfg.train.lr == 0.001
+
+
+def test_lookup_backend_plumbs_to_model():
+    import jax.numpy as jnp
+
+    from flow_supervisor_tpu.training.loop import build_model
+
+    p = build_argparser()
+    args = p.parse_args(
+        ["ckpts/x", "--lookup_backend", "plane", "--scan_iters", "true",
+         "--corr_dtype", "bfloat16"]
+    )
+    cfg = config_from_args(args)
+    model = build_model(cfg)
+    assert model.cfg.lookup_backend == "plane"
+    assert model.cfg.scan_iters is True
+    assert model.cfg.corr_dtype == jnp.bfloat16
+    # defaults preserve prior behavior: auto backend, f32 volume, unrolled
+    dflt = build_model(ExperimentConfig())
+    assert dflt.cfg.lookup_backend in ("einsum", "fused")
+    assert dflt.cfg.corr_dtype == jnp.float32
+    assert dflt.cfg.scan_iters is False

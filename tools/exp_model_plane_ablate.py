@@ -20,6 +20,15 @@ IN PLACE:
   noplanes : corr_pyramid_lookup_plane replaced by a coords-dependent
              broadcast (planes still built; XLA hoists their reads out of the
              scan) — isolates DMA + pallas-call overhead + index glue
+  nobuild  : build_padded_pyramid replaced by fmap-mean broadcast planes
+             (fnet + lookup kernel kept, the all-pairs matmul + pooling +
+             pad_plane killed) — isolates the pyramid build
+  full2    : second copy of the production chain. The first-warmed program
+             in a process measures 30-50% SLOWER than an identical program
+             warmed last (full 49.3 vs dup 32.9 ms/fwd in one 5-variant run)
+             — a relay executable-management artifact. Always bracket with
+             full first and full2 last and read the production number off
+             full2; deltas between middle variants appear position-stable.
   zero     : lookup_backend="zero" floor — CAVEAT: with a constant corr, XLA
              dead-codes the fnet AND the pyramid build (fmaps have no other
              consumer), so this is the no-fnet/no-lookup floor
@@ -64,6 +73,29 @@ def build_chain(n, backend):
     return chained, variables
 
 
+def _nobuild_pyramid(fmap1, fmap2, num_levels=4, radius=4,
+                     out_dtype=jnp.float32):
+    """Fake planes derived from a cheap fmap reduction: keeps fnet and the
+    lookup kernel alive, kills the all-pairs matmul + pooling + pad_plane."""
+    from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
+        PaddedPyramid, _round_up, plane_height,
+    )
+
+    b, h1, w1, _ = fmap1.shape
+    bq = b * h1 * w1
+    bqp = _round_up(bq, 128)
+    seed = (jnp.mean(fmap1.astype(jnp.float32))
+            + jnp.mean(fmap2.astype(jnp.float32)))
+    planes, shapes = [], []
+    for lvl in range(num_levels):
+        h2, w2 = h1 // (2 ** lvl), w1 // (2 ** lvl)
+        hp, wp = plane_height(h2), _round_up(w2, 128)
+        planes.append(
+            jnp.broadcast_to(seed.astype(out_dtype), (bqp, hp, wp)))
+        shapes.append((h2, w2))
+    return PaddedPyramid(planes=planes, shapes=tuple(shapes), radius=radius)
+
+
 def _noplanes_lookup(pyramid, coords, radius=4, dy_major=False,
                      out_dtype=jnp.float32):
     k2 = len(pyramid.planes) * (2 * radius + 1) ** 2
@@ -82,17 +114,28 @@ def main():
         raise RuntimeError("relay watchdog")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(560)
+    signal.alarm(int(sys.argv[sys.argv.index("--watchdog") + 1])
+                 if "--watchdog" in sys.argv else 560)
 
     n = 24
     rng = np.random.RandomState(0)
     shape = (1, 448, 1024, 3)
     x2 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
 
+    from flow_supervisor_tpu.kernels import corr_lookup_v2 as clv2
+
     orig_kernel = cp._plane_kernel
     orig_lookup = cp.corr_pyramid_lookup_plane
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "full", "nothing", "noplanes", "zero"]
+    orig_build = clv2.build_padded_pyramid
+    argv, names = sys.argv[1:], []
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--"):
+            i += 2  # every flag takes a value
+            continue
+        names.append(argv[i])
+        i += 1
+    names = names or ["full", "nothing", "noplanes", "zero"]
     fns = {}
     for name in names:
         backend = "zero" if name == "zero" else "plane"
@@ -100,6 +143,8 @@ def main():
             cp._plane_kernel = make_kernel("nothing")
         elif name == "noplanes":
             cp.corr_pyramid_lookup_plane = _noplanes_lookup
+        elif name == "nobuild":
+            clv2.build_padded_pyramid = _nobuild_pyramid
         try:
             fn, v = build_chain(n, backend)
             x1 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
@@ -113,6 +158,7 @@ def main():
         finally:
             cp._plane_kernel = orig_kernel
             cp.corr_pyramid_lookup_plane = orig_lookup
+            clv2.build_padded_pyramid = orig_build
 
     times = {k: [] for k in fns}
     for r in range(3):
