@@ -39,7 +39,7 @@ def main():
     cfg = RAFTConfig(
         iters=iters, teacher=True, teacher_iters=iters, freeze_bn=True,
         dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16, update_ckpt=True,
-        lookup_backend=backend,
+        lookup_backend=backend, scan_iters="--scan" in sys.argv,
     ).resolved()
     model = RAFT(cfg)
     mc = ModelCfg(teacher_iters=iters, lfr_loss_type="robust")

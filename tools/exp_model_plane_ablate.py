@@ -89,9 +89,10 @@ def _nobuild_pyramid(fmap1, fmap2, num_levels=4, radius=4,
     planes, shapes = [], []
     for lvl in range(num_levels):
         h2, w2 = h1 // (2 ** lvl), w1 // (2 ** lvl)
-        hp, wp = plane_height(h2), _round_up(w2, 128)
+        hp = plane_height(h2)
+        # real pad_plane keeps the lane axis at the UNPADDED w2
         planes.append(
-            jnp.broadcast_to(seed.astype(out_dtype), (bqp, hp, wp)))
+            jnp.broadcast_to(seed.astype(out_dtype), (bqp, hp, w2)))
         shapes.append((h2, w2))
     return PaddedPyramid(planes=planes, shapes=tuple(shapes), radius=radius)
 
