@@ -97,6 +97,30 @@ def _nobuild_pyramid(fmap1, fmap2, num_levels=4, radius=4,
     return PaddedPyramid(planes=planes, shapes=tuple(shapes), radius=radius)
 
 
+def _nofnet_features(self, image1, image2, train=False):
+    """fnet replaced by an image-mean broadcast: isolates the fnet encoder
+    (build + lookup + cnet + update loop all stay alive)."""
+    b, h, w, _ = image1.shape
+    seed = (jnp.mean(image1.astype(jnp.float32))
+            + jnp.mean(image2.astype(jnp.float32)))
+    f = jnp.broadcast_to(
+        seed.astype(self.cfg.dtype), (b, h // 8, w // 8, 256))
+    return f, f * 0.5
+
+
+def _nocnet_context(self, image1, train=False):
+    """cnet replaced by an image-mean broadcast: isolates the cnet encoder."""
+    b, h, w, _ = image1.shape
+    seed = jnp.mean(image1.astype(jnp.float32))
+    hd = self.cfg.hidden_dim
+    net = jnp.broadcast_to(
+        seed.astype(self.cfg.dtype), (b, h // 8, w // 8, hd))
+    inp = jnp.broadcast_to(
+        (seed * 0.5).astype(self.cfg.dtype),
+        (b, h // 8, w // 8, self.cfg.context_dim))
+    return jnp.tanh(net), jax.nn.relu(inp)
+
+
 def _noplanes_lookup(pyramid, coords, radius=4, dy_major=False,
                      out_dtype=jnp.float32):
     k2 = len(pyramid.planes) * (2 * radius + 1) ** 2
@@ -125,9 +149,13 @@ def main():
 
     from flow_supervisor_tpu.kernels import corr_lookup_v2 as clv2
 
+    from flow_supervisor_tpu.models import raft as raft_mod
+
     orig_kernel = cp._plane_kernel
     orig_lookup = cp.corr_pyramid_lookup_plane
     orig_build = clv2.build_padded_pyramid
+    orig_features = raft_mod.RAFT.features
+    orig_context = raft_mod.RAFT.context
     argv, names = sys.argv[1:], []
     i = 0
     while i < len(argv):
@@ -146,6 +174,10 @@ def main():
             cp.corr_pyramid_lookup_plane = _noplanes_lookup
         elif name == "nobuild":
             clv2.build_padded_pyramid = _nobuild_pyramid
+        elif name == "nofnet":
+            raft_mod.RAFT.features = _nofnet_features
+        elif name == "nocnet":
+            raft_mod.RAFT.context = _nocnet_context
         try:
             fn, v = build_chain(n, backend)
             x1 = jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
