@@ -37,6 +37,32 @@ from flow_supervisor_tpu.ops.corr import (
 from flow_supervisor_tpu.ops.upsample import upsample_convex
 
 
+def _crop_upsample(flow_low, mask, crop_yx8, hw8, out_size):
+    """Convex-upsample only a crop window of a full-frame low-res field.
+
+    Bit-identical to ``crop_bboxes(upsample_convex(flow_low, mask)*8)`` for
+    8-aligned crops (the upsample is local: each output pixel reads one mask
+    cell and its 3x3 low-res neighborhood), but does ~(crop/full) of the work
+    and never materializes the full-res field. The 1-px halo is sliced from
+    the zero-padded full field, so windows touching the frame border see the
+    same zero neighbors the full-frame upsample would.
+    """
+    h8, w8 = hw8
+    xp = jnp.pad(flow_low, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def one(img, off):
+        return jax.lax.dynamic_slice(
+            img, (off[0], off[1], 0), (h8 + 2, w8 + 2, img.shape[-1])
+        )
+
+    from flow_supervisor_tpu.ops.pad import crop_bboxes
+
+    off = crop_yx8.astype(jnp.int32)
+    halo = jax.vmap(one)(xp, off)
+    mask_c = crop_bboxes(mask, off, (h8, w8))
+    return upsample_convex(halo, mask_c, out_size, pre_padded=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class RAFTConfig:
     """Canonical hyperparameters (reference ``RAFTArgs``, raft/__init__.py:12-42)."""
@@ -217,6 +243,7 @@ class RAFT(nn.Module):
         stop_coord_gradient: bool = True,
         attention=None,
         final_flow_only: bool = False,
+        crop=None,
     ):
         """Run `iters` refinement steps; returns (net, coords1, flows_up, flows_low).
 
@@ -233,6 +260,13 @@ class RAFT(nn.Module):
         scan mode XLA cannot dead-code the 11 wasted full-res softmax+combine
         passes the way it does for the unrolled loop). flows_low keeps all
         iterations (cheap 1/8-res, used by warm start).
+
+        ``crop``: ``(crop_yx8, (h8, w8), (h, w))`` — upsample only that
+        per-sample window of the (full-frame) low-res flow, at crop
+        resolution: flows_up come back [iters, B, h, w, 2] already in the
+        crop frame (bit-identical to full-frame upsample + crop_bboxes; the
+        teacher path's consumers only ever see the cropped predictions,
+        reference semi.py:239-248). flows_low stay full-frame.
         """
         has_mask = self.cfg.convex_upsampling
 
@@ -302,6 +336,17 @@ class RAFT(nn.Module):
                 # small model: bilinear x8 upsample (the reference raises here,
                 # raft/__init__.py:167-168 — we keep the small variant usable)
                 flow_up = resize_flow(flow_low, out_size, scaling=True)
+                if crop is not None:
+                    from flow_supervisor_tpu.ops.pad import crop_bboxes
+
+                    flow_up = crop_bboxes(flow_up, crop[0] * 8, crop[2])
+            elif crop is not None:
+                flow_up = (
+                    _crop_upsample(
+                        flow_low, up_mask.astype(jnp.float32), *crop
+                    )
+                    * 8.0
+                )
             else:
                 flow_up = (
                     upsample_convex(flow_low, up_mask.astype(jnp.float32), out_size)
@@ -334,7 +379,12 @@ class RAFT(nn.Module):
             net, coords1 = carry[0], carry[1]
             lows = ys
             flow_low = coords1 - coords0
-            if has_mask:
+            if has_mask and crop is not None:
+                flow_up = (
+                    _crop_upsample(flow_low, carry[2].astype(jnp.float32), *crop)
+                    * 8.0
+                )
+            elif has_mask:
                 flow_up = (
                     upsample_convex(
                         flow_low, carry[2].astype(jnp.float32), out_size
@@ -343,6 +393,10 @@ class RAFT(nn.Module):
                 )
             else:
                 flow_up = resize_flow(flow_low, out_size, scaling=True)
+                if crop is not None:
+                    from flow_supervisor_tpu.ops.pad import crop_bboxes
+
+                    flow_up = crop_bboxes(flow_up, crop[0] * 8, crop[2])
             return net, coords1, flow_up[None], lows
 
         net, coords1 = carry
@@ -435,11 +489,17 @@ class RAFT(nn.Module):
 
     def _directional(
         self, image1, corr_pyramid, teacher_pyramid, teacher_image1,
-        crop_yx8, crop_yx, train,
+        crop_yx8, crop_yx, train, teacher_final_only: bool = False,
     ):
         """One direction of the semi forward: student on the crop, teacher
-        continuing from the student's final state in full-image coordinates."""
-        from flow_supervisor_tpu.ops.pad import crop_bboxes, pad_bboxes
+        continuing from the student's final state in full-image coordinates.
+
+        ``teacher_final_only``: upsample only the teacher's LAST iteration
+        (the L_fr target is the stop-gradient final prediction, reference
+        semi.py:447-471 — under ``scan_iters`` the other 11 full-res convex
+        upsamples cannot be dead-code-eliminated, so skip them explicitly).
+        """
+        from flow_supervisor_tpu.ops.pad import pad_bboxes
 
         cfg = self.cfg
         b, h, w, _ = image1.shape
@@ -468,7 +528,12 @@ class RAFT(nn.Module):
         t_attention = self.attention_map(t_inp)
         if t_attention is not None:
             t_attention = jax.lax.stop_gradient(t_attention)
-        _, _, tea_up_full, tea_low = self.iterate(
+        # Teacher predictions are only ever consumed in the student's frame
+        # (semi.py:239-248): upsample the crop window directly at crop
+        # resolution instead of upsampling the full frame and cropping —
+        # bit-identical (see iterate docstring), ~35% less convex-upsample
+        # work at recipe shapes, and no [iters, B, fh, fw, 2] stack in HBM.
+        _, _, tea_up, tea_low = self.iterate(
             t_net,
             t_inp,
             teacher_pyramid,
@@ -478,12 +543,10 @@ class RAFT(nn.Module):
             cfg.teacher_iters,
             teacher=True,
             attention=t_attention,
+            final_flow_only=teacher_final_only,
+            crop=(crop_yx8, (h8, w8), (h, w)),
         )
-        # Crop teacher predictions back into the student's frame (semi.py:239-248).
-        tea_up = jnp.stack(
-            [crop_bboxes(tea_up_full[i], crop_yx, (h, w)) for i in range(cfg.teacher_iters)]
-        )
-        return stu_up, stu_low, tea_up, tea_up_full
+        return stu_up, stu_low, tea_up, tea_low
 
     def semi_forward(
         self,
@@ -494,12 +557,14 @@ class RAFT(nn.Module):
         crop_yx,  # [B, 2] int (y, x), multiples of 8 (augmentor guarantees)
         train: bool = False,
         use_bw: bool = True,
+        teacher_final_only: bool = False,
     ):
         """Teacher-student forward for the flow supervisor.
 
         Returns dict with stacked predictions:
           student_fw/bw: [iters, B, h, w, 2], teacher_fw/bw: [t_iters, B, h, w, 2]
-          (cropped into the student frame), plus full-size teacher predictions.
+          (cropped into the student frame; length 1 when ``teacher_final_only``),
+          plus full-frame low-res teacher flows (teacher_low_fw/bw).
         """
         fmap1, fmap2 = self.features(image1, image2, train)
         corr_pyramid = self.build_corr(fmap1, fmap2)
@@ -509,28 +574,28 @@ class RAFT(nn.Module):
         crop_yx = crop_yx.astype(jnp.int32)
         crop_yx8 = crop_yx // 8
 
-        stu_fw, stu_low_fw, tea_fw, tea_fw_full = self._directional(
+        stu_fw, stu_low_fw, tea_fw, tea_low_fw = self._directional(
             image1, corr_pyramid, teacher_pyramid, orig_image1,
-            crop_yx8, crop_yx, train,
+            crop_yx8, crop_yx, train, teacher_final_only,
         )
         out = {
             "student_fw": stu_fw,
             "student_low_fw": stu_low_fw,
             "teacher_fw": tea_fw,
-            "teacher_fw_full": tea_fw_full,
+            "teacher_low_fw": tea_low_fw,
         }
         if use_bw:
             bw_pyramid = self.build_corr(fmap2, fmap1)
             t_bw_pyramid = jax.lax.stop_gradient(self.build_corr(tf2, tf1))
-            stu_bw, stu_low_bw, tea_bw, tea_bw_full = self._directional(
+            stu_bw, stu_low_bw, tea_bw, tea_low_bw = self._directional(
                 image2, bw_pyramid, t_bw_pyramid, orig_image2,
-                crop_yx8, crop_yx, train,
+                crop_yx8, crop_yx, train, teacher_final_only,
             )
             out.update(
                 student_bw=stu_bw,
                 student_low_bw=stu_low_bw,
                 teacher_bw=tea_bw,
-                teacher_bw_full=tea_bw_full,
+                teacher_low_bw=tea_low_bw,
             )
         return out
 

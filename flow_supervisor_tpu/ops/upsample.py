@@ -25,17 +25,28 @@ def upsample_convex(
     mask: jax.Array,
     out_size: tuple[int, int] | None = None,
     scale: int = 8,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """x: [B, H, W, C] low-res field; mask: [B, H, W, 9*scale^2] logits.
 
     Returns [B, out_h, out_w, C] where out defaults to (H*scale, W*scale).
+
+    ``pre_padded``: x is [B, H+2, W+2, C] and already carries its 1-px
+    3x3-neighbor halo (used when upsampling a crop window of a larger field:
+    the halo holds the true out-of-window neighbors instead of the zero pad,
+    which makes crop-then-upsample bit-identical to upsample-then-crop).
     """
-    b, h, w, c = x.shape
+    if pre_padded:
+        b, hp, wp, c = x.shape
+        h, w = hp - 2, wp - 2
+        xp = x.astype(jnp.float32)
+    else:
+        b, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.float32)
     s2 = scale * scale
     mask = mask.reshape(b, h, w, 9, s2).astype(jnp.float32)
     mask = jax.nn.softmax(mask, axis=3)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.float32)
     shifted = [
         xp[:, i : i + h, j : j + w] for i in range(3) for j in range(3)
     ]

@@ -65,7 +65,10 @@ def make_semi_train_step(
         gamma=mc.unsup_loss_decay_rate,
     )
 
-    def apply_semi(params, batch_stats, batch, train=True):
+    def apply_semi(
+        params, batch_stats, batch, train=True, use_bw=True,
+        teacher_final_only=False,
+    ):
         variables = {"params": params, "batch_stats": batch_stats}
         return model.apply(
             variables,
@@ -75,12 +78,17 @@ def make_semi_train_step(
             batch["orig_image2"],
             batch["crop_yx"],
             train=train,
-            use_bw=mc.use_bw,
+            use_bw=use_bw and mc.use_bw,
+            teacher_final_only=teacher_final_only,
             method="semi_forward",
         )
 
     def sup_loss_fn(params, batch_stats, batch):
-        out = apply_semi(params, batch_stats, batch)
+        # The sup branch consumes only the forward-direction student and
+        # teacher predictions (reference semi.py:369-408; its call computes
+        # the bw stream too but TF graph pruning drops it — skip explicitly
+        # here, scan-mode XLA cannot always prove the bw scans dead).
+        out = apply_semi(params, batch_stats, batch, use_bw=False)
         log = {}
         sup_label = (
             sequence_loss(
@@ -106,7 +114,14 @@ def make_semi_train_step(
         return total, log
 
     def unsup_loss_fn(params, batch_stats, batch):
-        out = apply_semi(params, batch_stats, batch)
+        # Without the teacher SMURF loss, the unsup branch reads only the
+        # teacher's FINAL prediction (the stop-gradient L_fr target,
+        # reference semi.py:447-471): skip the other t_iters-1 convex
+        # upsamples (scan mode cannot DCE them).
+        out = apply_semi(
+            params, batch_stats, batch,
+            teacher_final_only=mc.teacher_smurf_weight <= 0.0,
+        )
         log = {}
         total = jnp.zeros([], jnp.float32)
         if mc.teacher_smurf_weight > 0.0:

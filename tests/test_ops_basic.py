@@ -116,3 +116,22 @@ def test_outgoing_mask_and_warp():
     np.testing.assert_allclose(out[0, 0, 3, 0], 0.0)  # outgoing -> zeroed
     w = np.asarray(flow_to_warp(jnp.asarray(shifted)))
     np.testing.assert_allclose(w[0, 0, 0], [1.0, 0.0])
+
+
+def test_crop_upsample_matches_upsample_then_crop():
+    # Crop-window convex upsample (models/raft._crop_upsample) must be
+    # bit-identical to full-frame upsample + crop_bboxes for 8-aligned crops,
+    # including windows touching the frame border (zero-halo parity).
+    from flow_supervisor_tpu.models.raft import _crop_upsample
+
+    rng = np.random.default_rng(7)
+    fh8, fw8 = 6, 8
+    h8, w8 = 4, 5
+    flow = jnp.asarray(rng.normal(size=(2, fh8, fw8, 2)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(2, fh8, fw8, 9 * 64)), jnp.float32)
+    # one interior window, one flush with the (0, 0) border
+    off8 = jnp.asarray([[1, 2], [0, 0]], jnp.int32)
+    full = upsample_convex(flow, mask, (fh8 * 8, fw8 * 8))
+    want = crop_bboxes(full, off8 * 8, (h8 * 8, w8 * 8))
+    got = _crop_upsample(flow, mask, off8, (h8, w8), (h8 * 8, w8 * 8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

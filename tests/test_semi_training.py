@@ -49,9 +49,30 @@ def test_semi_forward_shapes(semi_setup):
     )
     assert out["student_fw"].shape == (2, 1, 32, 48, 2)
     assert out["teacher_fw"].shape == (1, 1, 32, 48, 2)
-    assert out["teacher_fw_full"].shape == (1, 1, 48, 64, 2)
+    assert out["teacher_low_fw"].shape == (1, 1, 6, 8, 2)  # full-frame 1/8 res
     assert out["student_bw"].shape == (2, 1, 32, 48, 2)
     assert "teacher_update_block" in variables["params"]
+
+
+def test_semi_teacher_final_only_matches_last_pred(semi_setup):
+    # teacher_final_only must return exactly the [-1] of the full sequence
+    # (it skips the other convex upsamples, not the refinement itself).
+    model, variables, sup, unsup = semi_setup
+    args = (
+        sup["image1"], sup["image2"], sup["orig_image1"], sup["orig_image2"],
+        sup["crop_yx"],
+    )
+    full = model.apply(variables, *args, train=False, method="semi_forward")
+    last = model.apply(
+        variables, *args, train=False, teacher_final_only=True,
+        method="semi_forward",
+    )
+    assert last["teacher_fw"].shape[0] == 1
+    np.testing.assert_allclose(
+        np.asarray(last["teacher_fw"][-1]),
+        np.asarray(full["teacher_fw"][-1]),
+        atol=1e-5,
+    )
 
 
 def test_semi_train_step_merges_grads(semi_setup):

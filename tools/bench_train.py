@@ -38,7 +38,8 @@ def main():
     )
     cfg = RAFTConfig(
         iters=iters, teacher=True, teacher_iters=iters, freeze_bn=True,
-        dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16, update_ckpt=True,
+        dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16,
+        update_ckpt="--no-remat" not in sys.argv,
         lookup_backend=backend, scan_iters="--scan" in sys.argv,
     ).resolved()
     model = RAFT(cfg)
