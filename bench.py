@@ -59,8 +59,8 @@ METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 #   as the memory-scaling fallback (never materializes the planes).
 LADDER = [
     ("plane", 4, True),
+    ("fused", 1, True),  # safe banker right after the high-upside opener
     ("plane", 1, True),
-    ("fused", 1, True),
     ("einsum", 1, False),
     ("fused", 8, True),
 ]

@@ -54,9 +54,18 @@ def _pick_tq(bq: int, preferred: int = 128) -> int:
 
 
 def plane_height(h2: int) -> int:
-    """Padded plane height: the 8-aligned band start for the largest valid
-    window base (h2-1), plus the BAND."""
-    return max(((h2 - 1) // 8) * 8 + BAND, _round_up(h2, 8))
+    """Padded plane height: the minimal 8-aligned height that fits the rows
+    AND a full band slice.
+
+    The band-start clamp (``by8 = clip(floor8(by), 0, hp - BAND)``) plus the
+    in-kernel validity mask make any ``hp >= max(round_up(h2, 8), BAND)``
+    exact: when the clamp engages, the sublane roll wraps rows whose PLANE row
+    index is ``>= by8 + BAND = hp >= h2`` — all out of range, all masked to
+    zero. The earlier ``floor8(h2-1) + BAND`` formula (guaranteeing an
+    unclamped band for every valid base) over-padded level planes by up to 16
+    rows — ~24% of the plane-block DMA bytes at 448x1024, the measured
+    dominant lookup cost (docs/PERF.md)."""
+    return max(_round_up(h2, 8), BAND)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -21,6 +21,21 @@ window channels with the shared one-hot combine dots (corr_fused
 ._combine_matrix) — nothing leaves the kernel but the final [BQ, L*(2r+1)^2]
 window block.
 
+Lane packing: TPU arrays tile the minor dim to 128 lanes, so a level plane
+stored at its natural width w2 < 128 (levels 1-3 at every recipe resolution)
+physically transfers round_up(w2, 128) lanes per row — 2x/4x/8x its logical
+bytes, and the plane-block DMA is the measured dominant lookup cost
+(docs/PERF.md: 0.63 of 0.81 ms/lookup). ``build_packed_pyramid`` therefore
+first-fit packs levels whose widths sum to <=128 side by side in ONE
+128-lane group array ([BQp, hp_g, 128], hp_g = max member height); at
+448x1024 levels 1+2+3 (64+32+16 lanes) share one group and total plane bytes
+exactly halve. In-kernel the packing is free: the per-query lane roll that
+brings window column 0 to lane 0 simply adds the member's static lane offset
+to its shift (``sx = (128 - (off + bx)) mod 128``), and the existing tap
+validity mask already zeroes reads that wrap into a neighbor level's lanes.
+Levels wider than 128 lanes (KITTI-class level 0) keep their own unpacked
+group and the staged-scratch roll path.
+
 The kernel's ONLY per-iteration input besides the planes is the raw coords
 array, fed twice (an SMEM view for per-query scalar index math, a VMEM view
 for the vectorized bilinear fractions). Moving the index math in-kernel was
@@ -40,11 +55,12 @@ same materialize-once volume life-cycle as the reference's TF backend
 available as "fused" for memory-bound shapes (training batches, >1080p).
 
 Gradient: identical closed-form VJP as corr_lookup_v2 (d_planes via
-lookup_vjp_dvols; coords grads are zero by the reference's own detach,
-raft/__init__.py:155).
+lookup_vjp_dvols, reassembled into the packed-group layout; coords grads are
+zero by the reference's own detach, raft/__init__.py:155).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -63,26 +79,150 @@ from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
     plane_height,
 )
 
-__all__ = ["build_padded_pyramid", "corr_pyramid_lookup_plane"]
+__all__ = [
+    "build_padded_pyramid",
+    "build_packed_pyramid",
+    "PackedPyramid",
+    "corr_pyramid_lookup_plane",
+]
+
+LANES = 128
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedPyramid:
+    """Correlation pyramid as lane-packed per-query plane groups.
+
+    groups[g]: [BQp, hp_g, wg]; level_meta[l] = (grp, lane_off, h2, w2)
+    locates level l's plane inside its group; radius sizes the layout.
+    """
+
+    groups: list[jax.Array]
+    level_meta: tuple[tuple[int, int, int, int], ...]
+    radius: int
+
+    @property
+    def shapes(self) -> tuple[tuple[int, int], ...]:
+        return tuple((h2, w2) for (_g, _o, h2, w2) in self.level_meta)
+
+    def tree_flatten(self):
+        return list(self.groups), (self.level_meta, self.radius)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(list(children), aux[0], aux[1])
+
+
+def _plan_groups(shapes):
+    """First-fit lane packing: (level_meta, group_plan).
+
+    level_meta[l] = (grp, lane_off, h2, w2); group_plan[g] = (hp_g, wg_store)
+    with wg_store = LANES for packed groups (lane pad is explicit zeros so the
+    in-kernel roll modulus equals the physical width) and the natural w2 for
+    a single level wider than LANES (staged-scratch path, as before).
+    """
+    level_meta: list[tuple[int, int, int, int]] = []
+    group_plan: list[list] = []  # [hp_g, used_lanes, wide?]
+    for h2, w2 in shapes:
+        hp = plane_height(h2)
+        if w2 > LANES:
+            group_plan.append([hp, w2, True])
+            level_meta.append((len(group_plan) - 1, 0, h2, w2))
+            continue
+        for g, plan in enumerate(group_plan):
+            if not plan[2] and plan[1] + w2 <= LANES:
+                level_meta.append((g, plan[1], h2, w2))
+                plan[0] = max(plan[0], hp)
+                plan[1] += w2
+                break
+        else:
+            group_plan.append([hp, w2, False])
+            level_meta.append((len(group_plan) - 1, 0, h2, w2))
+    plans = tuple(
+        (hp, used if wide else LANES) for hp, used, wide in group_plan
+    )
+    return tuple(level_meta), plans
+
+
+def _assemble_groups(d_vols, level_meta, plans, bqp):
+    """Pad each level's [BQ, h2, w2] plane to its group height and lane-concat
+    group members (shared by the forward build and the VJP)."""
+    members: list[list] = [[] for _ in plans]
+    for (g, _off, h2, w2), dv in zip(level_meta, d_vols):
+        bq = dv.shape[0]
+        hp_g = plans[g][0]
+        members[g].append(
+            jnp.pad(dv, ((0, bqp - bq), (0, hp_g - h2), (0, 0)))
+        )
+    groups = []
+    for (hp_g, wg), mem in zip(plans, members):
+        garr = mem[0] if len(mem) == 1 else jnp.concatenate(mem, axis=-1)
+        if garr.shape[-1] < wg:
+            garr = jnp.pad(garr, ((0, 0), (0, 0), (0, wg - garr.shape[-1])))
+        groups.append(garr)
+    return groups
+
+
+def build_packed_pyramid(
+    fmap1: jax.Array,
+    fmap2: jax.Array,
+    num_levels: int = 4,
+    radius: int = 4,
+    out_dtype: Any = jnp.float32,
+) -> PackedPyramid:
+    """Pyramid via the pooled-fmap identity, lane-packed and padded once."""
+    from flow_supervisor_tpu.ops.corr import build_corr_pyramid_from_fmaps
+
+    vols = build_corr_pyramid_from_fmaps(fmap1, fmap2, num_levels, out_dtype)
+    shapes = tuple(v.shape[3:5] for v in vols)
+    level_meta, plans = _plan_groups(shapes)
+    b, h1, w1 = vols[0].shape[:3]
+    bqp = _round_up(b * h1 * w1, 128)
+    flat = [v.reshape(b * h1 * w1, *v.shape[3:5]) for v in vols]
+    # Barrier: materialize each packed group exactly once. Without it XLA is
+    # free to fuse the pad/concat into every per-iteration consumer,
+    # recomputing it 12x per forward.
+    groups = jax.lax.optimization_barrier(
+        tuple(_assemble_groups(flat, level_meta, plans, bqp))
+    )
+    return PackedPyramid(list(groups), level_meta, radius)
+
+
+def pack_padded(pyr: PaddedPyramid) -> PackedPyramid:
+    """Re-layout a per-level PaddedPyramid into packed groups (compat path
+    for callers/tests that built via corr_lookup_v2.build_padded_pyramid;
+    production forwards should build packed directly)."""
+    level_meta, plans = _plan_groups(pyr.shapes)
+    bqp = pyr.planes[0].shape[0]
+    flat = [
+        p[:, :h2, :] for p, (h2, _w2) in zip(pyr.planes, pyr.shapes)
+    ]
+    return PackedPyramid(
+        _assemble_groups(flat, level_meta, plans, bqp), level_meta, pyr.radius
+    )
 
 
 def _plane_kernel(
-    cs_ref, cv_ref, *rest, tq, sup, cht, level_meta, radius, highest,
+    cs_ref, cv_ref, *rest, tq, sup, cht, level_meta, plans, radius, highest,
 ):
     """All levels of one query tile: per-query scalar index math + slice+roll
-    extraction from each level's resident plane block, then the shared
-    one-hot combine into the level's channel stripe and the vectorized
-    bilinear lerp. level_meta: per level (h2, w2, hp, wp_pad)."""
-    nl = len(level_meta)
-    plane_refs = rest[:nl]
-    s_ref = rest[nl]
-    out_ref = rest[nl + 1]
-    scratch_ref = rest[nl + 2]
-    sup_ref = rest[nl + 3]
+    extraction from the level's resident group block, then the shared one-hot
+    combine into the level's channel stripe and the vectorized bilinear lerp.
+    level_meta: per level (grp, lane_off, h2, w2); plans: per group (hp_g,
+    wg_store)."""
+    ng = len(plans)
+    group_refs = rest[:ng]
+    s_ref = rest[ng]
+    out_ref = rest[ng + 1]
+    scratch_ref = rest[ng + 2]
+    sup_ref = rest[ng + 3]
     iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
     iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
     cvec = cv_ref[...].astype(jnp.float32)  # [tq, 2]
-    for lvl, (h2, w2, hp, wp_pad) in enumerate(level_meta):
+    for lvl, (grp, off, h2, w2) in enumerate(level_meta):
+        hp_g, wg = plans[grp]
+        wp_pad = _round_up(w2, LANES)
         scale = 1.0 / (2.0 ** lvl)
         for q in range(tq):
             # scalar-unit index math (issued alongside the VPU extraction)
@@ -96,24 +236,33 @@ def _plane_kernel(
             by = ty - (cy < ty.astype(jnp.float32)).astype(jnp.int32) - radius
             by = jnp.clip(by, -sup, h2)
             bx = jnp.clip(bx, -sup, w2)
-            # clip-before-div keeps the floordiv nonnegative (trunc == floor)
+            # clip-before-div keeps the floordiv nonnegative (trunc == floor);
+            # the clamp to hp_g - BAND is exact: wrapped rows land at plane
+            # rows >= hp_g >= h2 and are masked (see plane_height)
             by8 = pl.multiple_of(
-                jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp - BAND), 8
+                jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp_g - BAND), 8
             )
             # operands are nonnegative by construction: rem == mod
             sy = jax.lax.rem(BAND - (by - by8), BAND)
-            sx = jax.lax.rem(wp_pad - bx, wp_pad)
             # dynamic rotates are 32-bit only: upcast bf16 bands in-register
-            band = plane_refs[lvl][q, pl.ds(by8, BAND), :].astype(jnp.float32)
+            band = group_refs[grp][q, pl.ds(by8, BAND), :].astype(jnp.float32)
             band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
-            if w2 == wp_pad:
-                # slice rows BEFORE the lane roll (corr_fused: the y-kept rows
-                # are 0..sup-1, so the narrower [16, wp] roll suffices)
+            if wg % LANES == 0:
+                # direct path: the stored group width IS the roll modulus
+                # (packed groups store explicit zero lane-pad to LANES; the
+                # member's static lane offset folds into the shift). Window
+                # columns that wrap into a neighbor level's lanes or the
+                # zero pad are masked below. off + bx <= off + w2 <= wg.
+                sx = jax.lax.rem(wg - (off + bx), wg)
+                # slice rows BEFORE the per-query lane roll (corr_fused: the
+                # y-kept rows are 0..sup-1, so the narrower roll suffices)
                 patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
             else:
-                # plane narrower than its lane pad: stage into the shared
-                # scratch and roll over THIS level's wp_pad lanes (the roll
-                # modulus must match the sx modulus; stale lanes are masked)
+                # single wide level narrower than its lane pad (KITTI-class
+                # w2 in (128, 256]): stage into the shared scratch and roll
+                # over wp_pad lanes (the roll modulus must match the sx
+                # modulus; stale lanes are masked)
+                sx = jax.lax.rem(wp_pad - bx, wp_pad)
                 scratch_ref[:, 0:w2] = band[:16, :]
                 patch = pltpu.roll(
                     scratch_ref[:, 0:wp_pad], sx, axis=1
@@ -147,7 +296,7 @@ def _plane_kernel(
         out_ref[:, lvl * cht : (lvl + 1) * cht] = out.astype(out_ref.dtype)
 
 
-def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
+def _lookup_impl(groups, level_meta, radius, coords, dy_major, out_dtype,
                  interpret=None):
     interpret = _auto_interpret(interpret)
     from flow_supervisor_tpu.kernels.corr_fused import _combine_matrix
@@ -157,8 +306,8 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
     k = 2 * radius + 1
     cht = k * k
     sup = 2 * radius + 2
-    nl = len(planes)
-    bqp = planes[0].shape[0]  # query axis padded to 128 by pad_plane
+    nl = len(level_meta)
+    bqp = groups[0].shape[0]  # query axis padded to 128 at build
     assert bqp >= bq and bqp % 128 == 0, (bqp, bq)
     # interpret mode (CPU tests): the kernel body is retraced per op per
     # query — a small tile keeps the trace tractable; result is tq-invariant
@@ -168,24 +317,30 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
     if bqp != bq:
         cq = jnp.pad(cq, ((0, bqp - bq), (0, 0)))
 
-    level_meta = tuple(
-        (h2, w2, plane.shape[1], _round_up(w2, 128))
-        for plane, (h2, w2) in zip(planes, shapes)
-    )
+    plans = tuple((g.shape[1], g.shape[2]) for g in groups)
     s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
     kernel = functools.partial(
         _plane_kernel, tq=tq, sup=sup, cht=cht, level_meta=level_meta,
-        radius=radius, highest=planes[0].dtype == jnp.float32,
+        plans=plans, radius=radius, highest=groups[0].dtype == jnp.float32,
     )
-    plane_specs = [
+    group_specs = [
         pl.BlockSpec(
-            (tq,) + plane.shape[1:],
+            (tq,) + g.shape[1:],
             lambda i, _t=tq: (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        for plane in planes
+        for g in groups
     ]
+    # lane-roll staging only for single wide levels (w2 in (LANES, pad))
+    scratch_w = max(
+        [
+            _round_up(w2, LANES)
+            for (_g, off, _h2, w2) in level_meta
+            if w2 > LANES and w2 % LANES != 0
+        ]
+        or [LANES]
+    )
     out = pl.pallas_call(
         kernel,
         grid=(qt,),
@@ -194,76 +349,79 @@ def _lookup_impl(planes, shapes, radius, coords, dy_major, out_dtype,
             # index math, a VMEM view for the vectorized bilinear fractions
             pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *plane_specs,
+            *group_specs,
             pl.BlockSpec((sup, 16, 4 * cht), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, nl * cht), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((bqp, nl * cht), out_dtype),
         scratch_shapes=[
-            # lane-roll staging for sub-128-lane planes, sized for the widest
-            # level (KITTI-class widths give w2 in (128, 256])
-            pltpu.VMEM((16, max(m[3] for m in level_meta)), jnp.float32),
+            pltpu.VMEM((16, scratch_w), jnp.float32),
             pltpu.VMEM((tq, sup, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(cq, cq, *planes, s_mat)
+    )(cq, cq, *groups, s_mat)
     return out[:bq].reshape(b, h1, w1, nl * cht)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5))
-def _lookup(planes, shapes, radius, coords, dy_major, out_dtype_name):
+def _lookup(groups, level_meta, radius, coords, dy_major, out_dtype_name):
     return _lookup_impl(
-        planes, shapes, radius, coords, dy_major, jnp.dtype(out_dtype_name)
+        groups, level_meta, radius, coords, dy_major, jnp.dtype(out_dtype_name)
     )
 
 
-def _lookup_fwd(planes, shapes, radius, coords, dy_major, out_dtype_name):
+def _lookup_fwd(groups, level_meta, radius, coords, dy_major, out_dtype_name):
     # residuals: coords + zero-size dtype tokens — nothing plane-sized is
     # kept alive, nothing of the forward re-runs (corr_lookup_v2 contract)
-    dtype_tokens = tuple(jnp.zeros((0,), p.dtype) for p in planes)
+    dtype_tokens = tuple(jnp.zeros((0,), g.dtype) for g in groups)
     return (
         _lookup_impl(
-            planes, shapes, radius, coords, dy_major, jnp.dtype(out_dtype_name)
+            groups, level_meta, radius, coords, dy_major,
+            jnp.dtype(out_dtype_name),
         ),
         (coords, dtype_tokens),
     )
 
 
-def _lookup_bwd(shapes, radius, dy_major, out_dtype_name, res, g):
+def _lookup_bwd(level_meta, radius, dy_major, out_dtype_name, res, g):
     from flow_supervisor_tpu.kernels.corr_fused import lookup_vjp_dvols
 
     coords, dtype_tokens = res
+    shapes = tuple((h2, w2) for (_g, _o, h2, w2) in level_meta)
+    _, plans = _plan_groups(shapes)
     d_vols = lookup_vjp_dvols(g, coords, shapes, radius, dy_major)
-    d_planes = []
-    for (h2, w2), dv, tok in zip(shapes, d_vols, dtype_tokens):
-        bq = dv.shape[0] * dv.shape[1]
-        bqp = _round_up(bq, 128)  # mirror pad_plane's query-axis padding
-        hp = plane_height(h2)
-        d_planes.append(
-            jnp.pad(
-                dv.reshape(bq, h2, w2), ((0, bqp - bq), (0, hp - h2), (0, 0))
-            ).astype(tok.dtype)
+    bq = d_vols[0].shape[0] * d_vols[0].shape[1]
+    bqp = _round_up(bq, 128)
+    flat = [dv.reshape(bq, h2, w2) for dv, (h2, w2) in zip(d_vols, shapes)]
+    d_groups = [
+        dg.astype(tok.dtype)
+        for dg, tok in zip(
+            _assemble_groups(flat, level_meta, plans, bqp), dtype_tokens
         )
-    return d_planes, jnp.zeros_like(coords)
+    ]
+    return d_groups, jnp.zeros_like(coords)
 
 
 _lookup.defvjp(_lookup_fwd, _lookup_bwd)
 
 
 def corr_pyramid_lookup_plane(
-    pyramid: PaddedPyramid,
+    pyramid: PackedPyramid | PaddedPyramid,
     coords: jax.Array,
     radius: int = 4,
     dy_major: bool = False,
     out_dtype: Any = jnp.float32,
 ) -> jax.Array:
-    """Materialized-plane lookup with in-kernel combine + index math:
-    [B, h1, w1, L*(2r+1)^2]."""
+    """Lane-packed plane lookup with in-kernel combine + index math:
+    [B, h1, w1, L*(2r+1)^2]. A per-level PaddedPyramid is re-packed per call
+    (compat/test path — production builds packed once per forward)."""
+    if isinstance(pyramid, PaddedPyramid):
+        pyramid = pack_padded(pyramid)
     assert radius == pyramid.radius, (radius, pyramid.radius)
     return _lookup(
-        list(pyramid.planes),
-        pyramid.shapes,
+        list(pyramid.groups),
+        pyramid.level_meta,
         radius,
         coords,
         dy_major,

@@ -409,9 +409,23 @@ class RAFT(nn.Module):
         is build_corr(fmap2, fmap1) — no 5-D volume transpose.
 
         With lookup_backend="pallas" the pyramid is stored as zero-padded
-        per-query planes (padded ONCE per forward) for the fused window kernel.
+        per-query planes (padded ONCE per forward) for the fused window
+        kernel; "plane" additionally lane-packs sub-128-lane levels into
+        shared 128-lane groups (halves plane DMA bytes, kernels/corr_plane.py).
         """
-        if self.cfg.lookup_backend in ("pallas", "plane"):
+        if self.cfg.lookup_backend == "plane":
+            from flow_supervisor_tpu.kernels.corr_plane import (
+                build_packed_pyramid,
+            )
+
+            return build_packed_pyramid(
+                fmap1.astype(self.cfg.dtype),
+                fmap2.astype(self.cfg.dtype),
+                self.cfg.corr_levels,
+                self.cfg.corr_radius,
+                self.cfg.corr_dtype,
+            )
+        if self.cfg.lookup_backend == "pallas":
             from flow_supervisor_tpu.kernels.corr_lookup_v2 import (
                 build_padded_pyramid,
             )

@@ -110,6 +110,47 @@ def test_vjp_matches_oracle_autodiff(dy_major):
     np.testing.assert_allclose(np.asarray(dm2), np.asarray(do2), atol=2e-4)
 
 
+def test_plan_groups_packing():
+    """448x1024-family shapes: levels 1-3 (64+32+16 lanes) share ONE 128-lane
+    group; level 0 (128) gets its own. KITTI-family: the wide level 0 (156)
+    stays alone unpadded, 78+39 pack, 19 starts a new group (first-fit)."""
+    from flow_supervisor_tpu.kernels.corr_plane import _plan_groups
+
+    meta, plans = _plan_groups(((56, 128), (28, 64), (14, 32), (7, 16)))
+    assert [m[0] for m in meta] == [0, 1, 1, 1]  # group ids
+    assert [m[1] for m in meta] == [0, 0, 64, 96]  # lane offsets
+    assert plans == ((56, 128), (32, 128))  # (hp_g, wg): 88 rows vs 176 old
+
+    meta, plans = _plan_groups(((47, 156), (24, 78), (12, 39), (6, 19)))
+    assert [m[0] for m in meta] == [0, 1, 1, 2]
+    assert [m[1] for m in meta] == [0, 0, 78, 0]
+    assert plans[0] == (48, 156)  # wide level: natural width, scratch path
+
+
+def test_wide_level_scratch_path():
+    """w2 > 128 (KITTI-class level 0) takes the staged-scratch roll path —
+    exercise it against the oracle with an asymmetric fmap pair (small query
+    grid, wide target grid) so interpret mode stays tractable."""
+    rng = np.random.RandomState(4)
+    f1 = jnp.asarray(rng.randn(1, 2, 4, 8), jnp.float32)
+    f2 = jnp.asarray(rng.randn(1, 12, 156, 8), jnp.float32)
+    coords = jnp.asarray(
+        np.stack(
+            [rng.uniform(-12, 168, (1, 2, 4)), rng.uniform(-12, 24, (1, 2, 4))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    vols = build_corr_pyramid_from_fmaps(f1, f2, 2, jnp.float32)
+    ref = corr_pyramid_lookup(vols, coords, R)
+    pyr = build_padded_pyramid(f1, f2, 2, R)
+    packed = cp.pack_padded(pyr)
+    assert packed.groups[0].shape[2] == 156  # unpadded wide group
+    assert packed.groups[1].shape[2] == 128  # level 1 (78) lane-padded group
+    got = cp.corr_pyramid_lookup_plane(pyr, coords, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_model_forward_with_plane_backend():
     """RAFT forward with lookup_backend='plane' matches the einsum backend."""
     from flow_supervisor_tpu.models import RAFT, RAFTConfig
