@@ -2,28 +2,40 @@
 """Benchmark: flow pairs/sec/chip at 448x1024, 12 refinement iterations
 (BASELINE.json north-star metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...aux}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Provisional headline lines are ALSO printed as soon as each config banks a
+number, and the current-best line is mirrored to BENCH_partial.json after
+every config — so even if this process is killed mid-run, the last stdout
+JSON line and the partial file both hold the best number captured so far.
 
 The headline `value` is the BEST sustained pairs/sec/chip across a ladder of
 configs (lookup backend x batch size x iteration mode) — the target is
 per-chip THROUGHPUT (the reference trains at bs 6-10, train.sh:3-6), so the
 largest batch that fits is a legitimate configuration, B=1 launch latency is
-not the metric. Each config is measured in a fresh subprocess with its own
-timeout: the TPU relay wedges sporadically and a wedged client session cannot
-recover in-process, so one wedge costs one config attempt, never the round
-(BENCH_r02 recorded 0.0 after three wedges of a single config — this ladder
-is the fix). Configs are ordered cheapest-compile-first so a nonzero number
-is banked before the risky high-upside configs run.
+not the metric.
 
-vs_baseline is measured against the TF-GPU reference estimate recorded in
-BASELINE.md (the reference repo publishes no numbers; RAFT-class TF models run
-~10 flow pairs/sec at this resolution on the reference's CUDA 11.3-era GPUs —
-recorded there as the working baseline until a direct measurement exists).
+Ladder discipline (rounds 2+3 both recorded 0.0; this is the fix):
+- The opener is ALWAYS ("einsum", 1, unrolled) — the only config that has
+  ever produced a driver-captured number (BENCH_r01 = 19.757) — with a hard
+  180 s cap (measured: ~53 s compile + ~5 s run).
+- Every config gets exactly ONE attempt in the first pass, with a fair-share
+  time cap (remaining budget / remaining configs, clamped to [150, 420] s),
+  so a string of wedged configs can never starve the later ones: all five
+  configs fit inside the 1500 s deadline even if every one of them wedges.
+- Failed configs are retried only AFTER every config has had its attempt,
+  and only with leftover budget.
+- Each config runs in a fresh subprocess with its own watchdog: the TPU
+  relay wedges sporadically and a wedged client session cannot recover
+  in-process, so one wedge costs one attempt, never the round.
+- The xplane device-trace run is OPT-IN (--trace): jax.profiler wedged the
+  relay on every round-3 attempt, so by default the budget goes to banking
+  config numbers instead.
 
-Aux fields: per-config results under "configs"; "device_ms_per_fwd" /
-"device_pairs_per_sec" from an xplane trace of the einsum-backend forward
-(ground truth immune to relay contention; pallas custom-calls wedge the
-profiler, so only the pure-XLA backend is traced).
+vs_baseline is measured against the TF-GPU reference ESTIMATE recorded in
+BASELINE.md (the reference repo publishes no numbers; RAFT-class TF models
+run ~10 flow pairs/sec at this resolution on the reference's CUDA 11.3-era
+GPUs). The JSON carries `"baseline": {..., "kind": "estimate"}` so the ratio
+is never mistaken for a measured one.
 """
 from __future__ import annotations
 
@@ -39,33 +51,22 @@ import numpy as np
 
 TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
 METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
-# (backend, batch, scan_iters): ordered cheapest/safest compile first.
-# Round-3 on-chip measurements that shaped this ladder (fori-chain protocol):
-# - einsum B=1 unrolled: 24.4 pairs/sec, ~53s compile — the safe opener.
-# - einsum B=4: 15.8 — batching HURTS einsum (volume HBM traffic scales
-#   with B); kept as cheap fallback only via --quick.
-# - fused scan B in {1,4,8}: 22.4/21.5/21.1 BEFORE the final_flow_only fix
-#   (scan mode was paying 11 wasted full-res convex upsamples per forward);
-#   B=8 only fits because the kernel never materializes the volume.
-# - pallas/fused UNROLLED: 48 pallas lowerings exceed the remote compile
-#   service's patience (>8 min, killed) — not benchable, not deployable.
-# - fused scan B=1 post stripe/roll/qpad optimizations: 26.8 pairs/sec,
-#   41s compile.
-# - plane scan (materialize-once planes + in-kernel combine): B=1 32.0 /
-#   B=4 35.3 / B=8 32.5 pairs/sec — the only backend that GAINS from
-#   batching (the per-query extraction loop amortizes against bigger plane
-#   dots); B=4 is the measured sweet spot and opens the ladder. fused stays
-#   as the memory-scaling fallback (never materializes the planes).
+# (backend, batch, scan_iters). Opener = the driver-proven safe banker;
+# round-3 builder measurements for the rest (docs/PERF.md): plane B=4 35.3 /
+# B=1 ~32 / fused B=1 26.8 / fused B=8 21.1 (only backend that fits B=8).
 LADDER = [
-    ("plane", 4, True),
-    ("fused", 1, True),  # safe banker right after the high-upside opener
+    ("einsum", 1, False),  # BANKER: the only driver-captured config ever (r1)
+    ("plane", 4, True),    # round-3 headline
     ("plane", 1, True),
-    ("einsum", 1, False),
+    ("fused", 1, True),
     ("fused", 8, True),
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))
 PER_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
+OPENER_TIMEOUT_S = int(os.environ.get("BENCH_OPENER_TIMEOUT", "180"))
+MIN_ATTEMPT_S = 150
 
 
 class BenchTimeout(Exception):
@@ -217,78 +218,11 @@ def _device_trace(model, variables, img1, img2) -> dict:
     }
 
 
-def orchestrate() -> None:
-    t_start = time.perf_counter()
-    results: dict[str, dict] = {}
-    extra = [a for a in sys.argv[1:] if a not in ("--quick",)]
-    ladder = LADDER[:2] if "--quick" in sys.argv else LADDER
+def _config_key(backend: str, batch: int, scan: bool) -> str:
+    return f"{backend}_b{batch}" + ("_scan" if scan else "")
 
-    for backend, batch, scan in ladder:
-        key = f"{backend}_b{batch}" + ("_scan" if scan else "")
-        # one attempt per config once a number is banked: observed wedges are
-        # config-correlated, and breadth beats retrying a wedging config
-        attempts = 1 if any("pairs_per_sec" in r for r in results.values()) else 2
-        for attempt in range(attempts):
-            elapsed = time.perf_counter() - t_start
-            budget = GLOBAL_DEADLINE_S - elapsed
-            if budget < 120 and results:
-                break  # bank what we have
-            cmd = [
-                sys.executable, os.path.abspath(__file__), "--single",
-                "--backend", backend, "--batch", str(batch),
-            ] + (["--scan"] if scan else []) + extra
-            p = subprocess.Popen(
-                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                text=True, start_new_session=True,
-            )
-            try:
-                out, _ = p.communicate(
-                    timeout=min(PER_ATTEMPT_TIMEOUT_S, max(budget, 150))
-                )
-                lines = [l for l in out.strip().splitlines() if l.startswith("{")]
-                if lines:
-                    results[key] = json.loads(lines[-1])
-                    break
-                # child hit its in-process watchdog and exited silently
-                results.setdefault(key, {"error": "watchdog"})
-            except subprocess.TimeoutExpired:
-                p.kill()  # never leave an orphan holding the TPU relay
-                p.wait()
-                results.setdefault(key, {"error": "timeout"})
-            if attempt < attempts - 1:
-                time.sleep(20)  # let a wedged relay session expire
-        if time.perf_counter() - t_start > GLOBAL_DEADLINE_S - 120 and any(
-            "pairs_per_sec" in r for r in results.values()
-        ):
-            break
 
-    # xplane device-time ground truth, LAST and aux-only: jax.profiler wedged
-    # the relay 2/2 on round-3 einsum runs (it previously only wedged on
-    # pallas custom-calls), so a trace run must never gate the headline.
-    if (
-        "--no-trace" not in sys.argv
-        and "--quick" not in sys.argv
-        and any("pairs_per_sec" in r for r in results.values())
-        and time.perf_counter() - t_start < GLOBAL_DEADLINE_S - 240
-    ):
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--single",
-            "--backend", "einsum", "--batch", "1", "--device-trace",
-        ] + extra
-        p = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True, start_new_session=True,
-        )
-        try:
-            out, _ = p.communicate(timeout=PER_ATTEMPT_TIMEOUT_S)
-            lines = [l for l in out.strip().splitlines() if l.startswith("{")]
-            if lines:
-                results["einsum_b1_trace"] = json.loads(lines[-1])
-        except subprocess.TimeoutExpired:
-            p.kill()
-            p.wait()
-            results["einsum_b1_trace"] = {"error": "timeout"}
-
+def _headline(results: dict) -> dict:
     ok = {k: r for k, r in results.items() if "pairs_per_sec" in r}
     if ok:
         best_key = max(ok, key=lambda k: ok[k]["pairs_per_sec"])
@@ -298,6 +232,11 @@ def orchestrate() -> None:
             "value": value,
             "unit": "pairs/sec",
             "vs_baseline": round(value / TF_GPU_BASELINE_PAIRS_PER_SEC, 3),
+            "baseline": {
+                "value": TF_GPU_BASELINE_PAIRS_PER_SEC,
+                "kind": "estimate",
+                "source": "BASELINE.md (reference publishes no numbers; no GPU/tfa here)",
+            },
             "best_config": best_key,
             "configs": results,
         }
@@ -305,15 +244,113 @@ def orchestrate() -> None:
             v = next((r[aux] for r in ok.values() if aux in r), None)
             if v is not None:
                 line[aux] = v
-    else:
-        line = {
-            "metric": METRIC,
-            "value": 0.0,
-            "unit": "pairs/sec",
-            "vs_baseline": 0.0,
-            "error": "timeout: TPU execution relay unresponsive on every config",
-            "configs": results,
-        }
+        return line
+    return {
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "pairs/sec",
+        "vs_baseline": 0.0,
+        "baseline": {
+            "value": TF_GPU_BASELINE_PAIRS_PER_SEC,
+            "kind": "estimate",
+            "source": "BASELINE.md",
+        },
+        "error": "timeout: TPU execution relay unresponsive on every config",
+        "configs": results,
+    }
+
+
+def _run_config(backend: str, batch: int, scan: bool, timeout_s: float, extra: list) -> dict:
+    """One subprocess attempt. Returns the child's JSON record or an error dict."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--single",
+        "--backend", backend, "--batch", str(batch),
+    ] + (["--scan"] if scan else []) + extra
+    env = dict(os.environ)
+    # child's in-process watchdog fires before the parent kill so it can exit
+    # cleanly ("watchdog") instead of being SIGKILLed mid-relay-call ("timeout")
+    env["BENCH_WATCHDOG"] = str(max(int(timeout_s) - 20, 60))
+    p = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, start_new_session=True, env=env,
+    )
+    try:
+        out, _ = p.communicate(timeout=timeout_s)
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        return {"error": "watchdog"}  # child hit its alarm, exited silently
+    except subprocess.TimeoutExpired:
+        p.kill()  # never leave an orphan holding the TPU relay
+        p.wait()
+        return {"error": "timeout"}
+
+
+def orchestrate() -> None:
+    t_start = time.perf_counter()
+    results: dict[str, dict] = {}
+    extra = [a for a in sys.argv[1:] if a not in ("--quick", "--trace")]
+    ladder = LADDER[:2] if "--quick" in sys.argv else list(LADDER)
+
+    def bank_partial() -> None:
+        """Mirror the current-best headline to disk and (once nonzero) stdout,
+        so a mid-run kill still leaves the best number as the last JSON line."""
+        line = _headline(results)
+        try:
+            with open(PARTIAL_PATH, "w") as f:
+                json.dump(line, f)
+        except OSError:
+            pass
+        if line["value"] > 0:
+            print(json.dumps(line), flush=True)
+
+    def budget() -> float:
+        return GLOBAL_DEADLINE_S - (time.perf_counter() - t_start)
+
+    # Pass 1: exactly one attempt per config, fair-share caps. Pass 2+: retry
+    # failed configs with whatever budget is left.
+    pending = list(ladder)
+    for pass_no in range(3):
+        failed = []
+        for i, (backend, batch, scan) in enumerate(pending):
+            key = _config_key(backend, batch, scan)
+            left = budget()
+            if left < MIN_ATTEMPT_S:
+                for cfg in pending[i:]:
+                    results.setdefault(_config_key(*cfg), {"error": "skipped: deadline"})
+                break
+            if pass_no == 0 and i == 0:
+                cap = min(OPENER_TIMEOUT_S, left)
+            else:
+                cap = min(PER_ATTEMPT_TIMEOUT_S,
+                          max(MIN_ATTEMPT_S, left / (len(pending) - i)))
+            rec = _run_config(backend, batch, scan, cap, extra)
+            if "pairs_per_sec" in rec:
+                results[key] = rec
+                bank_partial()
+            else:
+                results[key] = rec
+                failed.append((backend, batch, scan))
+                time.sleep(10)  # let a wedged relay session expire
+        pending = failed
+        if not pending or budget() < MIN_ATTEMPT_S:
+            break
+
+    # xplane device-time ground truth — OPT-IN and aux-only: jax.profiler
+    # wedged the relay 2/2 on round-3 einsum runs.
+    if "--trace" in sys.argv and budget() > 240 and any(
+        "pairs_per_sec" in r for r in results.values()
+    ):
+        rec = _run_config("einsum", 1, False, min(PER_ATTEMPT_TIMEOUT_S, budget() - 30),
+                          extra + ["--device-trace"])
+        results["einsum_b1_trace"] = rec
+
+    line = _headline(results)
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(line, f)
+    except OSError:
+        pass
     print(json.dumps(line))
 
 

@@ -48,7 +48,19 @@ def main():
                    help="eval compute dtype (fp32 default for parity; the "
                         "reference evaluates fp32 unless --mixed_precision, "
                         "evaluate.py:81-83)")
+    p.add_argument("-e", "--run_eagerly", action="store_true",
+                   help="disable jit for debugging (reference evaluate.py:36)")
     args = p.parse_args()
+
+    if args.run_eagerly:
+        import jax
+
+        with jax.disable_jit():
+            return _run(args)
+    return _run(args)
+
+
+def _run(args):
 
     from flow_supervisor_tpu.config import ExperimentConfig
     from flow_supervisor_tpu.data import datasets as D

@@ -25,8 +25,20 @@ def main():
     p.add_argument("--source_dirs", nargs="+", required=True)
     p.add_argument("--target_dirs", nargs="+", required=True)
     p.add_argument("--eval_iters", type=int, default=12)
+    p.add_argument("-e", "--run_eagerly", action="store_true",
+                   help="disable jit for debugging (reference extract_flow.py:37)")
     args = p.parse_args()
     assert len(args.source_dirs) == len(args.target_dirs)
+
+    if args.run_eagerly:
+        import jax
+
+        with jax.disable_jit():
+            return _run(args)
+    return _run(args)
+
+
+def _run(args):
 
     import numpy as np
     import jax.numpy as jnp

@@ -221,9 +221,13 @@ def _extract_and_combine(idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
         bx = idx_ref[qoff + q, 4]
         band = plane_ref[q, pl.ds(by8, BAND), 0:wp]
         band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
-        # slice rows BEFORE the lane roll: the y-kept rows are 0..sup-1
-        # (by - by8 <= 7 and 7 + 16 <= BAND, so no wrap pollutes them),
-        # which shrinks the widest per-query op from [24,WP] to [16,WP]
+        # slice rows BEFORE the lane roll: after the row roll, window row i
+        # always sits at band row i (by construction of sy), so rows 0..15
+        # cover the full support; rows that wrapped around the band
+        # correspond to taps at plane rows >= hp >= h2 (the by8 clamp to
+        # hp - BAND can engage when plane_height shrinks hp) and those taps
+        # are exactly the ones the validity mask zeroes below. Slicing to
+        # [:16] shrinks the widest per-query op from [24,WP] to [16,WP].
         patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
         valid = (iu >= -by) & (iu < h2 - by) & (iv >= -bx) & (iv < w2 - bx)
         # where (not multiply): wrapped/stale plane values may be anything

@@ -372,9 +372,12 @@ def _lookup(groups, level_meta, radius, coords, dy_major, out_dtype_name):
 
 
 def _lookup_fwd(groups, level_meta, radius, coords, dy_major, out_dtype_name):
-    # residuals: coords + zero-size dtype tokens — nothing plane-sized is
-    # kept alive, nothing of the forward re-runs (corr_lookup_v2 contract)
-    dtype_tokens = tuple(jnp.zeros((0,), g.dtype) for g in groups)
+    # residuals: coords + zero-size tokens carrying each PRIMAL group's
+    # (hp_g, wg) layout and dtype — nothing plane-sized is kept alive,
+    # nothing of the forward re-runs (corr_lookup_v2 contract), and the
+    # backward reassembles cotangents into the layout the primal groups were
+    # actually built with (not a re-derived plan that could drift)
+    dtype_tokens = tuple(jnp.zeros((0,) + g.shape[1:], g.dtype) for g in groups)
     return (
         _lookup_impl(
             groups, level_meta, radius, coords, dy_major,
@@ -389,7 +392,7 @@ def _lookup_bwd(level_meta, radius, dy_major, out_dtype_name, res, g):
 
     coords, dtype_tokens = res
     shapes = tuple((h2, w2) for (_g, _o, h2, w2) in level_meta)
-    _, plans = _plan_groups(shapes)
+    plans = tuple(tok.shape[1:3] for tok in dtype_tokens)
     d_vols = lookup_vjp_dvols(g, coords, shapes, radius, dy_major)
     bq = d_vols[0].shape[0] * d_vols[0].shape[1]
     bqp = _round_up(bq, 128)
@@ -417,7 +420,11 @@ def corr_pyramid_lookup_plane(
     [B, h1, w1, L*(2r+1)^2]. A per-level PaddedPyramid is re-packed per call
     (compat/test path — production builds packed once per forward)."""
     if isinstance(pyramid, PaddedPyramid):
-        pyramid = pack_padded(pyramid)
+        packed = pack_padded(pyramid)
+        # barrier so a jitted refinement loop materializes the repack once
+        # per pyramid instead of fusing the pad/concat into every lookup
+        groups = jax.lax.optimization_barrier(tuple(packed.groups))
+        pyramid = PackedPyramid(list(groups), packed.level_meta, packed.radius)
     assert radius == pyramid.radius, (radius, pyramid.radius)
     return _lookup(
         list(pyramid.groups),

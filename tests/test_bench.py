@@ -1,93 +1,164 @@
-"""Bench orchestrator robustness: a wedged config (the TPU relay hanging a
-subprocess, BENCH_r02's failure mode) must cost one config attempt, never the
-round — the ladder banks any other config's number as the headline."""
+"""Bench orchestrator robustness.
+
+BENCH_r02 and BENCH_r03 both recorded 0.0: wedged configs (the TPU relay
+hanging a subprocess) consumed the whole deadline before the safe config ran.
+These tests drive `orchestrate()` with a fake clock and a fake config runner
+and assert the round-4 ladder discipline:
+
+- every config gets its one attempt INSIDE the global deadline even when
+  every attempt wedges at its full time cap;
+- the opener (einsum b1, the only driver-proven config) is capped at 180 s;
+- a banked number is mirrored to the partial file and stdout immediately;
+- failed configs are retried only with leftover budget;
+- the baseline is labeled as an estimate in the JSON itself.
+"""
 import json
-import subprocess
-import sys
 
 import pytest
 
 import bench
 
 
-class _FakeProc:
-    def __init__(self, out: str | None):
-        self._out = out
-        self.killed = False
+class _Clock:
+    def __init__(self):
+        self.t = 0.0
 
-    def communicate(self, timeout=None):
-        if self._out is None:
-            raise subprocess.TimeoutExpired(cmd="bench", timeout=timeout)
-        return self._out, ""
+    def perf_counter(self):
+        return self.t
 
-    def kill(self):
-        self.killed = True
-
-    def wait(self):
-        pass
+    def sleep(self, s):
+        self.t += s
 
 
-def _fake_popen_factory(script):
-    """script: {config_key_fragment: json line or None (= wedge)}."""
-    spawned = []
-
-    def popen(cmd, **kw):
-        batch = cmd[cmd.index("--batch") + 1]
-        backend = cmd[cmd.index("--backend") + 1]
-        key = f"{backend}_b{batch}"
-        p = _FakeProc(script[key])
-        spawned.append((key, p))
-        return p
-
-    return popen, spawned
+@pytest.fixture()
+def clock(monkeypatch, tmp_path):
+    c = _Clock()
+    monkeypatch.setattr(bench.time, "perf_counter", c.perf_counter)
+    monkeypatch.setattr(bench.time, "sleep", c.sleep)
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "BENCH_partial.json"))
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    return c
 
 
-def test_orchestrate_banks_nonzero_despite_wedge(monkeypatch, capsys):
-    ok_line = json.dumps(
-        {"pairs_per_sec": 33.5, "backend": "einsum", "batch": 4, "scan": False}
-    )
-    popen, spawned = _fake_popen_factory(
-        {"einsum_b1": None, "einsum_b4": ok_line}  # b1 wedges every attempt
-    )
-    monkeypatch.setattr(bench.subprocess, "Popen", popen)
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    monkeypatch.setattr(bench, "LADDER", [("einsum", 1, False), ("einsum", 4, False)])
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+def _fake_runner(clock, script, attempts):
+    """script maps config key -> (seconds, record_or_None); None = wedge for
+    the full time cap."""
 
-    bench.orchestrate()
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert line["value"] == 33.5
-    assert line["vs_baseline"] == pytest.approx(3.35)
-    assert line["best_config"] == "einsum_b4"
-    assert line["configs"]["einsum_b1"] == {"error": "timeout"}
-    # the wedged subprocess was killed, not orphaned on the relay
-    assert all(p.killed for k, p in spawned if k == "einsum_b1")
+    def run(backend, batch, scan, timeout_s, extra):
+        key = bench._config_key(backend, batch, scan)
+        attempts.append((key, timeout_s))
+        secs, rec = script[key]
+        if rec is None:  # failed attempt: wedge (secs=None -> full cap) or fast crash
+            clock.t += timeout_s if secs is None else secs
+            return {"error": "timeout"}
+        clock.t += secs
+        return rec
+
+    return run
 
 
-def test_orchestrate_all_wedged_reports_zero_with_error(monkeypatch, capsys):
-    popen, _ = _fake_popen_factory({"einsum_b1": None, "einsum_b4": None})
-    monkeypatch.setattr(bench.subprocess, "Popen", popen)
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    monkeypatch.setattr(bench, "LADDER", [("einsum", 1, False), ("einsum", 4, False)])
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+def _last_line(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_all_wedged_every_config_attempted_inside_deadline(clock, monkeypatch, capsys):
+    """The r2/r3 failure mode: every config wedges. All five ladder configs
+    must still get their attempt inside GLOBAL_DEADLINE_S."""
+    script = {bench._config_key(*cfg): (None, None) for cfg in bench.LADDER}
+    attempts = []
+    monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
 
     bench.orchestrate()
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    first_pass = [k for k, _ in attempts[: len(bench.LADDER)]]
+    assert first_pass == [bench._config_key(*cfg) for cfg in bench.LADDER]
+    assert clock.t <= bench.GLOBAL_DEADLINE_S + bench.PER_ATTEMPT_TIMEOUT_S
+    # pass-1 attempts all ran before the deadline expired
+    assert attempts[0][1] <= bench.OPENER_TIMEOUT_S
+    assert all(t <= bench.PER_ATTEMPT_TIMEOUT_S for _, t in attempts)
+    line = _last_line(capsys)
     assert line["value"] == 0.0
-    assert "error" in line
+    assert line["baseline"]["kind"] == "estimate"
+    assert all("error" in line["configs"][k] for k in first_pass)
 
 
-def test_orchestrate_picks_best_config(monkeypatch, capsys):
-    mk = lambda v: json.dumps({"pairs_per_sec": v})
-    popen, _ = _fake_popen_factory({"einsum_b1": mk(20.0), "fused_b4": mk(55.0)})
-    monkeypatch.setattr(bench.subprocess, "Popen", popen)
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    monkeypatch.setattr(
-        bench, "LADDER", [("einsum", 1, False), ("fused", 4, True)]
-    )
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+def test_opener_is_driver_proven_einsum_and_capped(clock, monkeypatch, capsys):
+    assert bench.LADDER[0] == ("einsum", 1, False)
+    # non-opener configs crash fast (100 s each), leaving retry budget
+    script = {bench._config_key(*cfg): (100, None) for cfg in bench.LADDER}
+    script["einsum_b1"] = (60, {"pairs_per_sec": 24.4, "backend": "einsum", "batch": 1})
+    attempts = []
+    monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
 
     bench.orchestrate()
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert attempts[0][0] == "einsum_b1"
+    assert attempts[0][1] == bench.OPENER_TIMEOUT_S
+    line = _last_line(capsys)
+    assert line["value"] == 24.4
+    assert line["best_config"] == "einsum_b1"
+    # wedged configs were retried with leftover budget, then gave up in time
+    retried = [k for k, _ in attempts].count("plane_b4_scan")
+    assert retried >= 2
+    assert clock.t <= bench.GLOBAL_DEADLINE_S + bench.PER_ATTEMPT_TIMEOUT_S
+
+
+def test_banked_number_written_to_partial_and_stdout_immediately(
+    clock, monkeypatch, capsys, tmp_path
+):
+    """If the driver kills the orchestrator mid-run, the last stdout JSON line
+    and the partial file must already hold the banked number."""
+    ok = {"pairs_per_sec": 19.7, "backend": "einsum", "batch": 1}
+
+    def run(backend, batch, scan, timeout_s, extra):
+        if backend == "einsum":
+            clock.t += 60
+            return ok
+        raise KeyboardInterrupt  # simulate the driver killing us mid-ladder
+
+    monkeypatch.setattr(bench, "_run_config", run)
+    with pytest.raises(KeyboardInterrupt):
+        bench.orchestrate()
+
+    line = _last_line(capsys)
+    assert line["value"] == 19.7
+    partial = json.loads((tmp_path / "BENCH_partial.json").read_text())
+    assert partial["value"] == 19.7
+    assert partial["baseline"]["kind"] == "estimate"
+
+
+def test_picks_best_config_and_labels_baseline(clock, monkeypatch, capsys):
+    script = {bench._config_key(*cfg): (None, None) for cfg in bench.LADDER}
+    script["einsum_b1"] = (50, {"pairs_per_sec": 20.0})
+    script["plane_b4_scan"] = (100, {"pairs_per_sec": 55.0})
+    script["plane_b1_scan"] = (90, {"pairs_per_sec": 40.0})
+    script["fused_b1_scan"] = (80, {"pairs_per_sec": 30.0})
+    script["fused_b8_scan"] = (120, {"pairs_per_sec": 25.0})
+    attempts = []
+    monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
+
+    bench.orchestrate()
+
+    line = _last_line(capsys)
     assert line["value"] == 55.0
-    assert line["best_config"] == "fused_b4_scan"
+    assert line["best_config"] == "plane_b4_scan"
+    assert line["vs_baseline"] == pytest.approx(5.5)
+    assert line["baseline"] == {
+        "value": 10.0,
+        "kind": "estimate",
+        "source": "BASELINE.md (reference publishes no numbers; no GPU/tfa here)",
+    }
+    assert len(attempts) == 5  # nothing retried, nothing skipped
+
+
+def test_trace_is_opt_in(clock, monkeypatch, capsys):
+    """jax.profiler wedged the relay 2/2 in round 3 — the trace run must not
+    happen unless --trace is passed."""
+    script = {bench._config_key(*cfg): (30, {"pairs_per_sec": 20.0}) for cfg in bench.LADDER}
+    attempts = []
+    monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
+
+    bench.orchestrate()
+    assert not any("--device-trace" in str(a) for a in attempts)
+    line = _last_line(capsys)
+    assert "einsum_b1_trace" not in line["configs"]

@@ -17,7 +17,14 @@ def main():
     from flow_supervisor_tpu.utils.jax_setup import setup as _jax_setup
     _jax_setup()
 
+    import contextlib
     import sys
+
+    # debug escape hatch (reference train.py:37 --run_eagerly/-e): run the
+    # whole loop with jit disabled so python breakpoints/prints work. Handled
+    # before the config parser so it never persists into args.yaml.
+    run_eagerly = bool({"--run_eagerly", "-e"} & set(sys.argv))
+    sys.argv = [a for a in sys.argv if a not in ("--run_eagerly", "-e")]
 
     from flow_supervisor_tpu.config import (
         ExperimentConfig,
@@ -36,7 +43,14 @@ def main():
     from flow_supervisor_tpu.training.loop import train
 
     data_iter = fetch_dataloader(cfg.train)
-    train(cfg, data_iter)
+    if run_eagerly:
+        import jax
+
+        ctx = jax.disable_jit()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        train(cfg, data_iter)
 
 
 if __name__ == "__main__":
