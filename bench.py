@@ -15,9 +15,10 @@ largest batch that fits is a legitimate configuration, B=1 launch latency is
 not the metric.
 
 Ladder discipline (rounds 2+3 both recorded 0.0; this is the fix):
-- The opener is ALWAYS ("einsum", 1, unrolled) — the only config that has
-  ever produced a driver-captured number (BENCH_r01 = 19.757) — with a hard
-  180 s cap (measured: ~53 s compile + ~5 s run).
+- The opener is ALWAYS the pure-XLA einsum backend in scan mode — the
+  smallest HLO of any config (the round-4 rehearsal showed compile time, not
+  run time, is what wedges: the unrolled einsum opener blew a 180 s cap twice
+  while every scan config banked) — with a hard 240 s cap.
 - Every config gets exactly ONE attempt in the first pass, with a fair-share
   time cap (remaining budget / remaining configs, clamped to [150, 420] s),
   so a string of wedged configs can never starve the later ones: all five
@@ -53,19 +54,21 @@ TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
 METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
-# (backend, batch, scan_iters). Opener = the driver-proven safe banker;
-# round-3 builder measurements for the rest (docs/PERF.md): plane B=4 35.3 /
-# B=1 ~32 / fused B=1 26.8 / fused B=8 21.1 (only backend that fits B=8).
+# (backend, batch, scan_iters). Opener = the cheapest-compile pure-XLA config
+# (einsum scan: 23.6 pairs/sec in r3; the round-4 dress rehearsal measured the
+# UNROLLED einsum opener wedging its 180 s cap twice — 12x the HLO — while
+# every scan config banked). Round-4 rehearsal numbers for the rest:
+# fused B=1 32.7 / plane B=1 30.6 / plane B=4 28.5; fused B=8 wedged at 420 s.
 LADDER = [
-    ("einsum", 1, False),  # BANKER: the only driver-captured config ever (r1)
-    ("plane", 4, True),    # round-3 headline
+    ("einsum", 1, True),   # BANKER: smallest HLO of any config
+    ("fused", 1, True),    # rehearsal best
     ("plane", 1, True),
-    ("fused", 1, True),
+    ("plane", 4, True),
     ("fused", 8, True),
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))
 PER_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
-OPENER_TIMEOUT_S = int(os.environ.get("BENCH_OPENER_TIMEOUT", "180"))
+OPENER_TIMEOUT_S = int(os.environ.get("BENCH_OPENER_TIMEOUT", "240"))
 MIN_ATTEMPT_S = 150
 
 

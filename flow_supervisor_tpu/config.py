@@ -72,7 +72,12 @@ class TrainCfg:
     batch_size: int = 8
     image_size: tuple[int, int] = (368, 496)
     unsup_image_size: tuple[int, int] = (368, 768)
-    full_size: tuple[int, int] = (440, 1024)  # static full-image frame for semi
+    # static full-image frame for semi/unsup. None = auto: the stage's native
+    # floor-multiple-of-8 size (data/pipeline.py FULL_SIZE_DEFAULTS), so the
+    # augmentor's upscale-if-smaller policy never engages — measured to shift
+    # the census loss floor ~+23% at upscale factor 1.33
+    # (tools/exp_full_size_policy.py; docs/PARITY.md)
+    full_size: Optional[tuple[int, int]] = None
     lr: float = 4e-4
     lr_schedule: str = "onecycle"  # onecycle | exponential | smurf | constant
     lr_decay_steps: int = 25000
@@ -191,6 +196,9 @@ def _add_dataclass_args(parser: ArgumentParser, dc, prefix: str = "") -> None:
                                 default=default)
         elif isinstance(default, tuple):
             parser.add_argument(name, type=int, nargs=len(default), default=list(default))
+        elif default is None:
+            # optional (h, w) pair (full_size): None = per-stage auto
+            parser.add_argument(name, type=int, nargs=2, default=None)
         else:
             parser.add_argument(name, type=type(default), default=default)
 

@@ -326,6 +326,43 @@ class Prefetcher:
 
 # ---- stage registry (reference data/flow_datasets.py + wb_data) ----------
 
+# Per-stage static full_size defaults = the floor-multiple-of-8 of each
+# stage's NATIVE source resolution (mixed stages: elementwise min over
+# members, so nothing upscales and larger members get random full-frame
+# crops, matching _full_size_for's min() semantics). This reproduces the
+# reference's dynamic per-dataset full sizes (raft_utils/augmentor.py:665-669
+# floor-8 of whatever frame arrives) with XLA-friendly static shapes: the
+# upscale-if-smaller fallback (data/augment.py:418-428) never engages, which
+# matters — a 1.33x upscale shifts the census loss floor ~+23% and smooth2
+# ~+19% on perfect-flow probes (tools/exp_full_size_policy.py, docs/PARITY.md).
+FULL_SIZE_DEFAULTS = {
+    "chairs": (384, 512),
+    "chairs_unsup": (384, 512),
+    "things": (536, 960),
+    "things_unsup": (536, 960),
+    "sintel_unsup_test": (432, 1024),
+    "sintel_unsup_train": (432, 1024),  # + Spring (1072, 1920): min -> sintel
+    "sintel_unsup_labeled_train": (432, 1024),
+    "sintel_unsup_part1": (432, 1024),
+    "sintel_unsup_part2": (432, 1024),
+    "sintel_multiframe": (432, 1024),
+    "kitti_unsup": (368, 1240),  # canonical multiview frame 375x1242
+    "kitti_unsup_test": (368, 1240),
+    "kitti2015_unsup": (368, 1240),
+    "hd1k": (1072, 2560),
+    "ctskh": (368, 512),  # min over C(384,512)/T(536,960)/S(432,1024)/K(368,1240)/H
+    "davis_unsup": (480, 848),  # DAVIS 480p frames are 480x854
+}
+GENERIC_FULL_SIZE = (440, 1024)
+
+
+def resolve_full_size(stage: str, full_size):
+    """Explicit config wins; None = the stage's native floor-8 bucket."""
+    if full_size is not None:
+        return tuple(full_size)
+    return FULL_SIZE_DEFAULTS.get(stage, GENERIC_FULL_SIZE)
+
+
 def stage_records(stage: str):
     """-> (records, aug_param dict) for a stage name."""
     if stage == "chairs":
@@ -469,7 +506,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             sup_recs,
             train_cfg.image_size,
             batch_size=train_cfg.batch_size,
-            full_size=train_cfg.full_size,
+            full_size=resolve_full_size(sup_stage, train_cfg.full_size),
             seed=seed,
             workers=workers,
             **sup_aug,
@@ -479,7 +516,7 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
             unsup_recs,
             train_cfg.unsup_image_size,
             batch_size=train_cfg.batch_size,
-            full_size=train_cfg.full_size,
+            full_size=resolve_full_size(unsup_stage, train_cfg.full_size),
             seed=seed + 1,
             workers=workers,
             **unsup_aug,
@@ -487,6 +524,22 @@ def fetch_dataloader(train_cfg, seed: Optional[int] = None):
         )
         return Prefetcher(semi_zip(iter(unsup), iter(sup)))
     records, aug = stage_records(stage)
+    if "unsup" in stage:
+        # *_unsup stages carry the UnsupDataset dict contract (full-size
+        # originals + 8-aligned crop + offsets) in the reference regardless of
+        # label presence (data/flow_dataset.py:146-206) — the standalone
+        # raft-unsup trainer consumes orig_image*/crop_yx from it.
+        pipe = UnsupPipeline(
+            records,
+            train_cfg.image_size,
+            batch_size=train_cfg.batch_size,
+            full_size=resolve_full_size(stage, train_cfg.full_size),
+            seed=seed,
+            workers=workers,
+            **aug,
+            **rot,
+        )
+        return Prefetcher(iter(pipe))
     pipe = SupervisedPipeline(
         records,
         train_cfg.image_size,

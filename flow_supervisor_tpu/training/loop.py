@@ -52,7 +52,13 @@ def init_variables(model: RAFT, cfg: ExperimentConfig, rng_key=None):
     h, w = cfg.train.image_size
     img = jnp.zeros((1, h, w, 3), jnp.float32)
     if model.cfg.teacher:
-        fh, fw = cfg.train.full_size
+        # init shapes don't affect conv params; resolve None (= per-stage
+        # bucket) through the same table the loader uses
+        from flow_supervisor_tpu.data.pipeline import resolve_full_size
+
+        stage = cfg.train.stage
+        unsup_stage = stage.split("-", 2)[1] if stage.startswith("semi-") else stage
+        fh, fw = resolve_full_size(unsup_stage, cfg.train.full_size)
         return model.init(
             rng_key,
             img,

@@ -7,7 +7,7 @@ and assert the round-4 ladder discipline:
 
 - every config gets its one attempt INSIDE the global deadline even when
   every attempt wedges at its full time cap;
-- the opener (einsum b1, the only driver-proven config) is capped at 180 s;
+- the opener (einsum b1 scan, the smallest-HLO config) is capped at 240 s;
 - a banked number is mirrored to the partial file and stdout immediately;
 - failed configs are retried only with leftover budget;
 - the baseline is labeled as an estimate in the JSON itself.
@@ -82,21 +82,23 @@ def test_all_wedged_every_config_attempted_inside_deadline(clock, monkeypatch, c
     assert all("error" in line["configs"][k] for k in first_pass)
 
 
-def test_opener_is_driver_proven_einsum_and_capped(clock, monkeypatch, capsys):
-    assert bench.LADDER[0] == ("einsum", 1, False)
+def test_opener_is_cheapest_compile_einsum_and_capped(clock, monkeypatch, capsys):
+    assert bench.LADDER[0] == ("einsum", 1, True)
     # non-opener configs crash fast (100 s each), leaving retry budget
     script = {bench._config_key(*cfg): (100, None) for cfg in bench.LADDER}
-    script["einsum_b1"] = (60, {"pairs_per_sec": 24.4, "backend": "einsum", "batch": 1})
+    script["einsum_b1_scan"] = (
+        60, {"pairs_per_sec": 23.6, "backend": "einsum", "batch": 1}
+    )
     attempts = []
     monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
 
     bench.orchestrate()
 
-    assert attempts[0][0] == "einsum_b1"
+    assert attempts[0][0] == "einsum_b1_scan"
     assert attempts[0][1] == bench.OPENER_TIMEOUT_S
     line = _last_line(capsys)
-    assert line["value"] == 24.4
-    assert line["best_config"] == "einsum_b1"
+    assert line["value"] == 23.6
+    assert line["best_config"] == "einsum_b1_scan"
     # wedged configs were retried with leftover budget, then gave up in time
     retried = [k for k, _ in attempts].count("plane_b4_scan")
     assert retried >= 2
@@ -129,7 +131,7 @@ def test_banked_number_written_to_partial_and_stdout_immediately(
 
 def test_picks_best_config_and_labels_baseline(clock, monkeypatch, capsys):
     script = {bench._config_key(*cfg): (None, None) for cfg in bench.LADDER}
-    script["einsum_b1"] = (50, {"pairs_per_sec": 20.0})
+    script["einsum_b1_scan"] = (50, {"pairs_per_sec": 20.0})
     script["plane_b4_scan"] = (100, {"pairs_per_sec": 55.0})
     script["plane_b1_scan"] = (90, {"pairs_per_sec": 40.0})
     script["fused_b1_scan"] = (80, {"pairs_per_sec": 30.0})

@@ -105,6 +105,41 @@ def test_semi_fetch_dataloader_end_to_end(fake_root):
     assert (unsup_b["valid"] == 0).all()
 
 
+def test_unsup_stage_yields_unsup_dict_standalone(fake_root):
+    """Standalone raft-unsup training (reference --stage things_unsup
+    --model_type raft-unsup): *_unsup stages must carry the UnsupDataset dict
+    contract even OUTSIDE the semi- zip (reference data/flow_dataset.py:146-206)."""
+    from flow_supervisor_tpu.config import TrainCfg
+    from flow_supervisor_tpu.data.pipeline import fetch_dataloader
+
+    cfg = TrainCfg(
+        stage="sintel_unsup_test", batch_size=1, image_size=(32, 48),
+        full_size=(40, 56), seed=3,
+    )
+    b = next(fetch_dataloader(cfg))
+    assert b["image1"].shape == (1, 32, 48, 3)
+    assert b["orig_image1"].shape == (1, 40, 56, 3)
+    assert b["crop_yx"].shape == (1, 2)
+    assert (b["crop_yx"] % 8 == 0).all()
+
+
+def test_full_size_defaults_bucketed_per_stage():
+    """full_size=None resolves to the stage's native floor-8 size so the
+    upscale-if-smaller policy never engages (docs/PARITY.md quantification)."""
+    from flow_supervisor_tpu.config import TrainCfg
+    from flow_supervisor_tpu.data.pipeline import resolve_full_size
+
+    assert TrainCfg().full_size is None  # auto is the default
+    assert resolve_full_size("sintel_unsup_test", None) == (432, 1024)
+    assert resolve_full_size("kitti_unsup", None) == (368, 1240)
+    assert resolve_full_size("davis_unsup", None) == (480, 848)
+    assert resolve_full_size("chairs_unsup", None) == (384, 512)
+    # explicit config always wins (recipes / tests pass their own)
+    assert resolve_full_size("sintel_unsup_test", (40, 56)) == (40, 56)
+    # unknown stages fall back to the generic static frame
+    assert resolve_full_size("mystery", None) == (440, 1024)
+
+
 def test_part_and_multiframe_stages_reachable(fake_root):
     # VERDICT r1 weak #6: sintel_unsup_part / sintel_multiframe must be
     # reachable from the stage registry (and multiframe from fetch_dataloader)

@@ -158,3 +158,65 @@ def test_final_epe_budget_on_magnitudes(tf_reference_run):
     """Flow magnitudes are non-degenerate (the comparison is not 0 vs 0)."""
     _, _, _, flows_tf = tf_reference_run
     assert np.abs(flows_tf[-1]).max() > 0.05
+
+
+# Recipe-class shape: the chairs training resolution (reference train.sh:3).
+# h8=46, w8=62 go ODD at pyramid levels 2+ (46->23->12->6, 62->31->16->8), so
+# SAME-pool padding on odd sizes, pad specs, and resampler edge semantics are
+# all exercised — none of which the 64x96 case can catch.
+H_L, W_L = 368, 496
+
+
+@pytest.fixture(scope="module")
+def tf_reference_run_large(tmp_path_factory):
+    if not os.path.isdir("/root/reference/raft"):
+        pytest.skip("reference tree not mounted")
+    _install_stubs()
+    import raft as ref_raft
+
+    from argparse import Namespace
+
+    params = Namespace(small=False, dropout=0.0, iters=ITERS,
+                       alternate_corr=False)
+    model = ref_raft.RAFT(params)
+
+    rng = np.random.RandomState(7)
+    img1 = rng.uniform(0, 1, (1, H_L, W_L, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (1, H_L, W_L, 3)).astype(np.float32)
+    preds = model((tf.constant(img1), tf.constant(img2)), training=False)
+    flows_tf = np.stack([np.asarray(p) for p in preds])
+
+    ckpt_dir = tmp_path_factory.mktemp("tf_golden_ckpt_large")
+    path = tf.train.Checkpoint(model=model).write(str(ckpt_dir / "ckpt"))
+    return path, img1, img2, flows_tf
+
+
+def test_epe_budget_at_recipe_shape(tf_reference_run_large):
+    """<=0.05-EPE budget (BASELINE.md accuracy target) at a recipe-class
+    resolution, 12 iterations — the strongest in-env proxy for released-
+    checkpoint parity (no checkpoint files / egress here)."""
+    path, img1, img2, flows_tf = tf_reference_run_large
+
+    from flow_supervisor_tpu.convert import load_tf_checkpoint
+    from flow_supervisor_tpu.models import RAFT, RAFTConfig
+
+    params, batch_stats = load_tf_checkpoint(path, teacher=False)
+    cfg = RAFTConfig(
+        iters=ITERS, lookup_backend="einsum", dy_major_corr=False,
+        scan_iters=True,  # 12x smaller HLO: keeps the CPU compile tractable
+    ).resolved()
+    model = RAFT(cfg)
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(img1), jnp.asarray(img2), train=False,
+    )
+    flows_jax = np.asarray(out["flow_up"])
+
+    assert flows_jax.shape == flows_tf.shape
+    assert np.abs(flows_tf[-1]).max() > 0.05  # non-degenerate
+    epe = np.sqrt(((flows_jax[-1] - flows_tf[-1]) ** 2).sum(-1)).mean()
+    assert epe < 0.05, epe  # the published accuracy budget
+    # expected far tighter (64x96 case holds <2e-3); record the real margin
+    assert epe < 5e-3, epe
+    d = np.abs(flows_jax[-1] - flows_tf[-1])
+    assert d.max() < 5e-2, d.max()
