@@ -203,22 +203,25 @@ def _plane_dots(f1, f2_ref, plane_ref, *, ngr, g_base, w2, wp, scale_recip,
         )
 
 
-def _extract_and_combine(idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
+def _extract_and_combine(idx_ref, cq_ref, s_ref, plane_ref, sup_ref,
                          out_ref, *, tq, sup, cht, h2, w2, wp, ch0,
-                         precision, qoff=0):
+                         precision, ibase=0, scale=1.0):
     """Per-query slice+roll window extraction from the plane slab, then the
     shared one-hot combine dots; writes out_ref[:, ch0:ch0+cht].
 
-    ``qoff``: row offset into idx/frac (the merged kernel packs all levels'
-    rows into one block — SMEM blocks cannot be minor-dim sliced)."""
+    ``idx_ref``: [5*nl, tq] SMEM planes (by8, sy, sx, by, bx per level, from
+    ``_level_index_planes``); ``ibase`` = 5*lvl row offset. ``cq_ref``:
+    [tq, 2] VMEM coords — the bilinear fractions are computed in-kernel at
+    ``scale`` (the merged kernel passes 2^-lvl; the per-level path feeds
+    pre-scaled coords and scale=1)."""
     iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
     iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
     for q in range(tq):
-        by8 = pl.multiple_of(idx_ref[qoff + q, 0], 8)
-        sy = idx_ref[qoff + q, 1]
-        sx = idx_ref[qoff + q, 2]
-        by = idx_ref[qoff + q, 3]
-        bx = idx_ref[qoff + q, 4]
+        by8 = pl.multiple_of(idx_ref[ibase + 0, q], 8)
+        sy = idx_ref[ibase + 1, q]
+        sx = idx_ref[ibase + 2, q]
+        by = idx_ref[ibase + 3, q]
+        bx = idx_ref[ibase + 4, q]
         band = plane_ref[q, pl.ds(by8, BAND), 0:wp]
         band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
         # slice rows BEFORE the lane roll: after the row roll, window row i
@@ -246,8 +249,10 @@ def _extract_and_combine(idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
             sup_ref[:, u, :], s_ref[u], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-    fx = frac_ref[qoff : qoff + tq, 0:1]
-    fy = frac_ref[qoff : qoff + tq, 1:2]
+    cl = cq_ref[...].astype(jnp.float32) * scale
+    frac = cl - jnp.floor(cl)
+    fx = frac[:, 0:1]
+    fy = frac[:, 1:2]
     out = (
         ((1.0 - fy) * (1.0 - fx)) * acc[:, 0 * cht : 1 * cht]
         + ((1.0 - fy) * fx) * acc[:, 1 * cht : 2 * cht]
@@ -257,19 +262,24 @@ def _extract_and_combine(idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
     out_ref[:, ch0 : ch0 + cht] = out.astype(out_ref.dtype)
 
 
-def _level_indices(coords, lvl, h2, w2, hp, wp, radius):
-    """Per-query slice/roll/mask indices, identical math to corr_lookup_v2."""
+def _level_index_planes(cx, cy, lvl, h2, w2, hp, wp, radius):
+    """Per-query slice/roll/mask indices as FIVE [BQ] vector planes (list).
+
+    Identical math to corr_lookup_v2, but on 1-D full-lane vectors stacked
+    along a MAJOR axis by the caller: the previous [BQ, 5] minor-dim stack
+    wasted 96% of every vector register in the XLA prologue (the same layout
+    finding that moved corr_plane to SMEM-fed [5*nl, BQp] planes in round 4;
+    see corr_plane._index_planes)."""
     sup = 2 * radius + 2
-    cl = coords / (2.0 ** lvl)
-    fl = jnp.floor(cl)
-    frac = (cl - fl).astype(jnp.float32)
-    base = fl.astype(jnp.int32) - radius
-    by = jnp.clip(base[:, 1], -sup, h2)
-    bx = jnp.clip(base[:, 0], -sup, w2)
-    by8 = jnp.clip((by // 8) * 8, 0, hp - BAND)
+    scale = 1.0 / (2.0 ** lvl)
+    bx = jnp.floor(cx * scale).astype(jnp.int32) - radius
+    by = jnp.floor(cy * scale).astype(jnp.int32) - radius
+    by = jnp.clip(by, -sup, h2)
+    bx = jnp.clip(bx, -sup, w2)
+    by8 = jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp - BAND)
     sy = jnp.mod(BAND - (by - by8), BAND)
     sx = jnp.mod(wp - bx, wp)
-    return jnp.stack([by8, sy, sx, by, bx], axis=-1), frac
+    return [by8, sy, sx, by, bx]
 
 
 def _scale_recip_of(c: int):
@@ -297,7 +307,7 @@ def _pad_queries(f1, coords_flat):
 
 
 def _fused_all_kernel(
-    idx_ref, frac_ref, f1_ref, *rest,
+    idx_ref, cq_ref, f1_ref, *rest,
     tq, sup, cht, level_meta, scale_recip, highest,
 ):
     nl = len(level_meta)
@@ -315,9 +325,10 @@ def _fused_all_kernel(
             precision=precision, tq=tq,
         )
         _extract_and_combine(
-            idx_ref, frac_ref, s_ref, plane_ref, sup_ref,
+            idx_ref, cq_ref, s_ref, plane_ref, sup_ref,
             out_ref, tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp,
-            ch0=lvl * cht, precision=precision, qoff=lvl * tq,
+            ch0=lvl * cht, precision=precision, ibase=5 * lvl,
+            scale=1.0 / (2.0 ** lvl),
         )
 
 
@@ -352,17 +363,25 @@ def _fused_all_levels(
     wp_max = max(wps)
     qt = q // tq
 
-    idxs, fracs = [], []
+    # per-query indices as [5*nl, BQ] MAJOR-stacked vector planes (1-D
+    # full-lane math — see _level_index_planes); fractions computed in-kernel
+    # from the raw coords block
     cq = coords_flat.reshape(b * q, 2)
+    cx0 = coords_flat[..., 0].reshape(b * q).astype(jnp.float32)
+    cy0 = coords_flat[..., 1].reshape(b * q).astype(jnp.float32)
+    rows = []
     for lvl, (h2, w2) in enumerate(shapes):
-        idx_l, frac_l = _level_indices(cq, lvl, h2, w2, hp, wps[lvl], radius)
-        idxs.append(idx_l.reshape(qt, tq, 5))
-        fracs.append(frac_l.reshape(qt, tq, 2))
-    # pack levels along the ROW dim per query tile (2-D arrays, taller
-    # blocks): SMEM/VMEM refs cannot be view-sliced along a sub-128 minor
-    # dim, so the kernel indexes rows with a static per-level offset instead
-    idx = jnp.stack(idxs, 1).reshape(qt * nl * tq, 5)
-    frac = jnp.stack(fracs, 1).reshape(qt * nl * tq, 2)
+        rows += _level_index_planes(cx0, cy0, lvl, h2, w2, hp, wps[lvl], radius)
+    idx = jnp.stack(rows, axis=0).astype(jnp.int32)
+    # tile-major interleave so the SMEM block windows the MAJOR axis: Mosaic
+    # cannot window an SMEM operand along the minor dim — a (5*nl, tq) block
+    # at (0, i) promotes the whole array into double-buffered scoped VMEM
+    # (measured on TPU: +1.15M == 2x array bytes, blew the merged kernel's
+    # 16M scoped limit at 448x1024). The block's sublane dim must be
+    # 8-divisible, hence the row pad.
+    ixr = _round_up(5 * nl, 8)
+    idx = jnp.pad(idx, ((0, ixr - 5 * nl), (0, 0)))
+    idx = idx.reshape(ixr, qt, tq).swapaxes(0, 1).reshape(qt * ixr, tq)
     s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
     level_meta = tuple(
@@ -385,9 +404,9 @@ def _fused_all_levels(
         kernel,
         grid=(qt,),
         in_specs=[
-            pl.BlockSpec((nl * tq, 5), lambda i: (i, 0),
+            pl.BlockSpec((ixr, tq), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((nl * tq, 2), lambda i: (i, 0),
+            pl.BlockSpec((tq, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, c), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -402,7 +421,7 @@ def _fused_all_levels(
             pltpu.VMEM((tq, sup, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, frac, f1, *f2gs, s_mat)
+    )(idx, cq, f1, *f2gs, s_mat)
     return out.reshape(b, q, nl * cht)
 
 
@@ -410,7 +429,7 @@ def _fused_all_levels(
 
 
 def _fused_level_kernel(
-    idx_ref, frac_ref, f1_ref, f2_ref, s_ref, out_ref, plane_ref, sup_ref,
+    idx_ref, cq_ref, f1_ref, f2_ref, s_ref, out_ref, plane_ref, sup_ref,
     *, tq, sup, cht, h2, w2, wp, gch, scale_recip, highest,
 ):
     yc = pl.program_id(2)
@@ -425,7 +444,7 @@ def _fused_level_kernel(
     @pl.when(yc == nyc - 1)
     def _():
         _extract_and_combine(
-            idx_ref, frac_ref, s_ref, plane_ref, sup_ref, out_ref,
+            idx_ref, cq_ref, s_ref, plane_ref, sup_ref, out_ref,
             tq=tq, sup=sup, cht=cht, h2=h2, w2=w2, wp=wp, ch0=0,
             precision=precision,
         )
@@ -474,9 +493,16 @@ def _fused_level(
         tq //= 2
         qt = q // tq
 
-    idx, frac = _level_indices(
-        coords_lvl.reshape(b * q, 2), 0, h2, w2, hp, wp, radius
-    )
+    cq = coords_lvl.reshape(b * q, 2)
+    cx0 = coords_lvl[..., 0].reshape(b * q).astype(jnp.float32)
+    cy0 = coords_lvl[..., 1].reshape(b * q).astype(jnp.float32)
+    idx = jnp.stack(
+        _level_index_planes(cx0, cy0, 0, h2, w2, hp, wp, radius), axis=0
+    ).astype(jnp.int32)
+    # tile-major interleave + 8-row pad for major-axis SMEM windowing (see
+    # _fused_all_levels)
+    idx = jnp.pad(idx, ((0, 3), (0, 0)))
+    idx = idx.reshape(8, b * qt, tq).swapaxes(0, 1).reshape(b * qt * 8, tq)
     s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
     kernel = functools.partial(
@@ -489,7 +515,7 @@ def _fused_level(
         grid=(b, qt, nyc),
         in_specs=[
             pl.BlockSpec(
-                (tq, 5), lambda bi, qi, yi, _qt=qt: (bi * _qt + qi, 0),
+                (8, tq), lambda bi, qi, yi, _qt=qt: (bi * _qt + qi, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -519,7 +545,7 @@ def _fused_level(
             pltpu.VMEM((tq, sup, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(idx, frac, f1, f2g, s_mat)
+    )(idx, cq, f1, f2g, s_mat)
     return out
 
 

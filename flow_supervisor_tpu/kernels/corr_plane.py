@@ -88,6 +88,28 @@ __all__ = [
 
 LANES = 128
 
+# Per-query BAND-only manual DMA for groups holding a single level taller
+# than 2*BAND (level 0 at every recipe resolution): the group stays in HBM
+# (memory_space=ANY) and the kernel async-copies only the 16-row band each
+# query actually reads, instead of BlockSpec-DMAing the whole hp-row plane
+# per query. The lookup is DMA-bound (exp_plane_ablate: full 0.775 ms vs
+# plane-DMA floor 0.724 after the SMEM-fed index rework), and level 0's
+# whole-plane blocks are hp0/BAND = 4x the banded bytes at 448x1024.
+# Multi-member packed groups keep resident blocks: their hp_g is smaller
+# than the sum of their members' full-width bands. Probe: exp_band_dma.py.
+BAND_DMA = True
+
+
+def _banded_groups(plans, level_meta):
+    """Groups worth banding: single member, taller than 2*BAND."""
+    if not BAND_DMA:
+        return ()
+    return tuple(
+        g for g in range(len(plans))
+        if plans[g][0] > 2 * BAND
+        and sum(1 for (gg, *_r) in level_meta if gg == g) == 1
+    )
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -203,57 +225,112 @@ def pack_padded(pyr: PaddedPyramid) -> PackedPyramid:
     )
 
 
+def _index_planes(cx0, cy0, level_meta, plans, radius, sup):
+    """XLA-side per-query index math as FIVE [BQp] vector planes per level,
+    stacked MAJOR-axis-first into one [5*nl, BQp] int32 array.
+
+    Round-4 kernel ablation (tools/exp_plane_ablate.py): post lane-packing,
+    the per-query SCALAR-UNIT index math inside the kernel costs ~0.7 ms of a
+    1.55 ms all-levels lookup — more than extraction+combine together. The
+    round-3 measurement that moved the math in-kernel (-1.7 ms/fwd,
+    tools/exp_plane_idx_ab.py) was against a [BQ, 5]-stacked XLA prologue
+    whose 5-wide minor dim wasted 96% of every vector register; these
+    [BQp]-per-plane ops are full-lane 1-D, and the stack axis is MAJOR, so the
+    prologue is ~free and the kernel's scalar core only issues SMEM reads."""
+    rows = []
+    for lvl, (grp, off, h2, w2) in enumerate(level_meta):
+        hp_g, wg = plans[grp]
+        wp_pad = _round_up(w2, LANES)
+        scale = 1.0 / (2.0 ** lvl)
+        cx = cx0 * scale
+        cy = cy0 * scale
+        bx = jnp.floor(cx).astype(jnp.int32) - radius
+        by = jnp.floor(cy).astype(jnp.int32) - radius
+        by = jnp.clip(by, -sup, h2)
+        bx = jnp.clip(bx, -sup, w2)
+        # clip-before-div keeps the floordiv nonnegative (trunc == floor);
+        # the clamp to hp_g - BAND is exact: wrapped rows land at plane
+        # rows >= hp_g >= h2 and are masked (see plane_height)
+        by8 = jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp_g - BAND)
+        # operands are nonnegative by construction: rem == mod
+        sy = jax.lax.rem(BAND - (by - by8), BAND)
+        if wg % LANES == 0:
+            # packed group: the stored width IS the roll modulus (explicit
+            # zero lane-pad); the member's static lane offset folds into the
+            # shift. off + bx <= off + w2 <= wg keeps the operand nonneg.
+            sx = jax.lax.rem(wg - (off + bx), wg)
+        else:
+            sx = jax.lax.rem(wp_pad - bx, wp_pad)
+        rows += [by8, sy, sx, by, bx]
+    return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
 def _plane_kernel(
-    cs_ref, cv_ref, *rest, tq, sup, cht, level_meta, plans, radius, highest,
+    ix_ref, cv_ref, *rest, tq, sup, cht, level_meta, plans, banded, radius,
+    highest,
 ):
-    """All levels of one query tile: per-query scalar index math + slice+roll
-    extraction from the level's resident group block, then the shared one-hot
-    combine into the level's channel stripe and the vectorized bilinear lerp.
-    level_meta: per level (grp, lane_off, h2, w2); plans: per group (hp_g,
-    wg_store)."""
+    """All levels of one query tile: SMEM-fed per-query indices + slice+roll
+    extraction from the level's resident group block (or from the per-query
+    band scratch for BAND_DMA groups), then the shared one-hot combine into
+    the level's channel stripe and the vectorized bilinear lerp.
+    ix_ref: [5*nl, tq] SMEM int32 from ``_index_planes`` (by8, sy, sx, by, bx
+    per level); level_meta: per level (grp, lane_off, h2, w2); plans: per
+    group (hp_g, wg_store); banded: group ids DMA'd band-wise (see BAND_DMA)."""
     ng = len(plans)
     group_refs = rest[:ng]
     s_ref = rest[ng]
     out_ref = rest[ng + 1]
     scratch_ref = rest[ng + 2]
     sup_ref = rest[ng + 3]
+    band_scrs = {g: rest[ng + 4 + i] for i, g in enumerate(banded)}
+    band_sems = {g: rest[ng + 4 + len(banded) + i] for i, g in enumerate(banded)}
+
+    def band_copy(g, lvl, q):
+        # wait() rebuilds the same-shaped descriptor; only shape + semaphore
+        # matter for the wait
+        by8 = pl.multiple_of(ix_ref[5 * lvl + 0, q], 8)
+        return pltpu.make_async_copy(
+            group_refs[g].at[pl.program_id(0) * tq + q, pl.ds(by8, BAND), :],
+            band_scrs[g].at[q],
+            band_sems[g].at[q],
+        )
+
+    # issue every band copy for this tile up front so the transfers overlap
+    # each other and the resident-group extraction below
+    for g in banded:
+        lvl_g = next(l for l, (gg, *_r) in enumerate(level_meta) if gg == g)
+        for q in range(tq):
+            band_copy(g, lvl_g, q).start()
+
     iu = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 0)
     iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
     cvec = cv_ref[...].astype(jnp.float32)  # [tq, 2]
-    for lvl, (grp, off, h2, w2) in enumerate(level_meta):
+    # banded levels LAST: their waits then overlap the resident extraction
+    # (out stripes are level-indexed, so processing order is free)
+    order = sorted(
+        range(len(level_meta)), key=lambda l: level_meta[l][0] in band_scrs
+    )
+    for lvl in order:
+        grp, off, h2, w2 = level_meta[lvl]
         hp_g, wg = plans[grp]
         wp_pad = _round_up(w2, LANES)
         scale = 1.0 / (2.0 ** lvl)
+        base = 5 * lvl
         for q in range(tq):
-            # scalar-unit index math (issued alongside the VPU extraction)
-            cx = cs_ref[q, 0] * scale
-            cy = cs_ref[q, 1] * scale
-            # scalar floor via trunc-cast + fixup (int cast truncates toward
-            # zero; coords may be negative)
-            tx = cx.astype(jnp.int32)
-            ty = cy.astype(jnp.int32)
-            bx = tx - (cx < tx.astype(jnp.float32)).astype(jnp.int32) - radius
-            by = ty - (cy < ty.astype(jnp.float32)).astype(jnp.int32) - radius
-            by = jnp.clip(by, -sup, h2)
-            bx = jnp.clip(bx, -sup, w2)
-            # clip-before-div keeps the floordiv nonnegative (trunc == floor);
-            # the clamp to hp_g - BAND is exact: wrapped rows land at plane
-            # rows >= hp_g >= h2 and are masked (see plane_height)
-            by8 = pl.multiple_of(
-                jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0, hp_g - BAND), 8
-            )
-            # operands are nonnegative by construction: rem == mod
-            sy = jax.lax.rem(BAND - (by - by8), BAND)
+            sy = ix_ref[base + 1, q]
+            sx = ix_ref[base + 2, q]
+            by = ix_ref[base + 3, q]
+            bx = ix_ref[base + 4, q]
             # dynamic rotates are 32-bit only: upcast bf16 bands in-register
-            band = group_refs[grp][q, pl.ds(by8, BAND), :].astype(jnp.float32)
+            if grp in band_scrs:
+                band_copy(grp, lvl, q).wait()
+                band = band_scrs[grp][q].astype(jnp.float32)
+            else:
+                by8 = pl.multiple_of(ix_ref[base + 0, q], 8)
+                band = group_refs[grp][q, pl.ds(by8, BAND), :].astype(
+                    jnp.float32)
             band = pltpu.roll(band, sy, axis=0)  # window row 0 -> band row 0
             if wg % LANES == 0:
-                # direct path: the stored group width IS the roll modulus
-                # (packed groups store explicit zero lane-pad to LANES; the
-                # member's static lane offset folds into the shift). Window
-                # columns that wrap into a neighbor level's lanes or the
-                # zero pad are masked below. off + bx <= off + w2 <= wg.
-                sx = jax.lax.rem(wg - (off + bx), wg)
                 # slice rows BEFORE the per-query lane roll (corr_fused: the
                 # y-kept rows are 0..sup-1, so the narrower roll suffices)
                 patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
@@ -262,7 +339,6 @@ def _plane_kernel(
                 # w2 in (128, 256]): stage into the shared scratch and roll
                 # over wp_pad lanes (the roll modulus must match the sx
                 # modulus; stale lanes are masked)
-                sx = jax.lax.rem(wp_pad - bx, wp_pad)
                 scratch_ref[:, 0:w2] = band[:16, :]
                 patch = pltpu.roll(
                     scratch_ref[:, 0:wp_pad], sx, axis=1
@@ -320,17 +396,40 @@ def _lookup_impl(groups, level_meta, radius, coords, dy_major, out_dtype,
     plans = tuple((g.shape[1], g.shape[2]) for g in groups)
     s_mat = jnp.asarray(_combine_matrix(sup, radius, cht, 0, dy_major))
 
+    # per-query indices as [5*nl, BQp] vector planes (1-D full-lane math;
+    # sliced from the 4-D coords BEFORE the [BQ, 2] reshape so no 2-wide
+    # minor-dim op ever materializes — see _index_planes docstring)
+    cx0 = coords[..., 0].reshape(bq).astype(jnp.float32)
+    cy0 = coords[..., 1].reshape(bq).astype(jnp.float32)
+    if bqp != bq:
+        cx0 = jnp.pad(cx0, (0, bqp - bq))
+        cy0 = jnp.pad(cy0, (0, bqp - bq))
+    ix = _index_planes(cx0, cy0, level_meta, plans, radius, sup)
+    # tile-major interleave: [5*nl, BQp] -> [qt*ixr, tq] so the SMEM block
+    # windows the MAJOR axis. Mosaic cannot window an SMEM operand along the
+    # minor dim — a (5*nl, tq) block at (0, i) silently promotes the whole
+    # array into double-buffered scoped VMEM (measured: fused merged kernel
+    # blew the 16M scoped limit by exactly 2x the array bytes on TPU) —
+    # and the block's sublane dim must be 8-divisible, hence the row pad.
+    ixr = _round_up(5 * nl, 8)
+    ix = jnp.pad(ix, ((0, ixr - 5 * nl), (0, 0)))
+    ix = ix.reshape(ixr, qt, tq).swapaxes(0, 1).reshape(qt * ixr, tq)
+
+    banded = _banded_groups(plans, level_meta)
     kernel = functools.partial(
         _plane_kernel, tq=tq, sup=sup, cht=cht, level_meta=level_meta,
-        plans=plans, radius=radius, highest=groups[0].dtype == jnp.float32,
+        plans=plans, banded=banded, radius=radius,
+        highest=groups[0].dtype == jnp.float32,
     )
     group_specs = [
-        pl.BlockSpec(
-            (tq,) + g.shape[1:],
+        pl.BlockSpec(memory_space=pltpu.ANY)
+        if g in banded
+        else pl.BlockSpec(
+            (tq,) + garr.shape[1:],
             lambda i, _t=tq: (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        for g in groups
+        for g, garr in enumerate(groups)
     ]
     # lane-roll staging only for single wide levels (w2 in (LANES, pad))
     scratch_w = max(
@@ -345,9 +444,9 @@ def _lookup_impl(groups, level_meta, radius, coords, dy_major, out_dtype,
         kernel,
         grid=(qt,),
         in_specs=[
-            # the SAME coords tile twice: an SMEM view for per-query scalar
-            # index math, a VMEM view for the vectorized bilinear fractions
-            pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # SMEM index planes (all levels' by8/sy/sx/by/bx for this tile)
+            # + a VMEM coords view for the vectorized bilinear fractions
+            pl.BlockSpec((ixr, tq), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *group_specs,
             pl.BlockSpec((sup, 16, 4 * cht), lambda i: (0, 0, 0),
@@ -358,9 +457,14 @@ def _lookup_impl(groups, level_meta, radius, coords, dy_major, out_dtype,
         scratch_shapes=[
             pltpu.VMEM((16, scratch_w), jnp.float32),
             pltpu.VMEM((tq, sup, 16), jnp.float32),
+        ] + [
+            pltpu.VMEM((tq, BAND, plans[g][1]), groups[g].dtype)
+            for g in banded
+        ] + [
+            pltpu.SemaphoreType.DMA((tq,)) for _ in banded
         ],
         interpret=interpret,
-    )(cq, cq, *groups, s_mat)
+    )(ix, cq, *groups, s_mat)
     return out[:bq].reshape(b, h1, w1, nl * cht)
 
 

@@ -33,14 +33,19 @@ from flow_supervisor_tpu.kernels.corr_lookup_v2 import BAND, build_padded_pyrami
 
 
 def make_kernel(mode):
-    def kernel(cs_ref, cv_ref, *rest, tq, sup, cht, level_meta, radius,
+    """Production-layout variants (round-4 SMEM-fed index planes: the kernel
+    receives [5*nl, tq] precomputed indices; scalar math lives in the XLA
+    prologue — see corr_plane._index_planes)."""
+
+    def kernel(ix_ref, cv_ref, *rest, tq, sup, cht, level_meta, plans, radius,
                highest):
-        nl = len(level_meta)
-        plane_refs = rest[:nl]
-        s_ref = rest[nl]
-        out_ref = rest[nl + 1]
-        scratch_ref = rest[nl + 2]
-        sup_ref = rest[nl + 3]
+        ng = len(plans)
+        group_refs = rest[:ng]
+        s_ref = rest[ng]
+        out_ref = rest[ng + 1]
+        scratch_ref = rest[ng + 2]
+        sup_ref = rest[ng + 3]
+        LANES = cp.LANES
         if mode == "nothing":
             out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype) + (
                 cv_ref[0, 0].astype(out_ref.dtype))
@@ -49,62 +54,30 @@ def make_kernel(mode):
         iv = jax.lax.broadcasted_iota(jnp.int32, (sup, 16), 1)
         cvec = cv_ref[...].astype(jnp.float32)
         precision = jax.lax.Precision.HIGHEST if highest else None
-        for lvl, (h2, w2, hp, wp_pad) in enumerate(level_meta):
+        for lvl, (grp, off, h2, w2) in enumerate(level_meta):
+            hp_g, wg = plans[grp]
+            wp_pad = cp._round_up(w2, LANES)
             scale = 1.0 / (2.0 ** lvl)
-            if mode != "noextract":
-                for q in range(tq):
-                    if mode == "noscalar":
-                        by8, sy, sx = 0, 0, 0
-                        by, bx = 0, 0
-                    else:
-                        cx = cs_ref[q, 0] * scale
-                        cy = cs_ref[q, 1] * scale
-                        tx = cx.astype(jnp.int32)
-                        ty = cy.astype(jnp.int32)
-                        bx = tx - (cx < tx.astype(jnp.float32)).astype(
-                            jnp.int32) - radius
-                        by = ty - (cy < ty.astype(jnp.float32)).astype(
-                            jnp.int32) - radius
-                        by = jnp.clip(by, -sup, h2)
-                        bx = jnp.clip(bx, -sup, w2)
-                        by8 = pl.multiple_of(
-                            jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0,
-                                     hp - BAND), 8)
-                        sy = jax.lax.rem(BAND - (by - by8), BAND)
-                        sx = jax.lax.rem(wp_pad - bx, wp_pad)
-                    band = plane_refs[lvl][q, pl.ds(by8, BAND), :].astype(
-                        jnp.float32)
-                    band = pltpu.roll(band, sy, axis=0)
-                    if w2 == wp_pad:
-                        patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
-                    else:
-                        scratch_ref[:, 0:w2] = band[:16, :]
-                        patch = pltpu.roll(
-                            scratch_ref[:, 0:wp_pad], sx, axis=1
-                        )[:sup, :16]
-                    valid = (iu >= -by) & (iu < h2 - by) & \
-                            (iv >= -bx) & (iv < w2 - bx)
-                    sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
-            elif mode == "noextract":
-                for q in range(tq):
-                    cx = cs_ref[q, 0] * scale
-                    cy = cs_ref[q, 1] * scale
-                    tx = cx.astype(jnp.int32)
-                    ty = cy.astype(jnp.int32)
-                    bx = tx - (cx < tx.astype(jnp.float32)).astype(
-                        jnp.int32) - radius
-                    by = ty - (cy < ty.astype(jnp.float32)).astype(
-                        jnp.int32) - radius
-                    by = jnp.clip(by, -sup, h2)
-                    bx = jnp.clip(bx, -sup, w2)
-                    by8 = jnp.clip((jnp.maximum(by, 0) // 8) * 8, 0,
-                                   hp - BAND)
-                    sy = jax.lax.rem(BAND - (by - by8), BAND)
-                    sx = jax.lax.rem(wp_pad - bx, wp_pad)
-                    # consume the scalars so they can't be DCE'd (cheap
-                    # scalar store into the first sup_ref element)
-                    sup_ref[q, 0, 0] = (by8 + sy + sx + by + bx).astype(
-                        jnp.float32)
+            base = 5 * lvl
+            for q in range(tq):
+                by8 = pl.multiple_of(ix_ref[base + 0, q], 8)
+                sy = ix_ref[base + 1, q]
+                sx = ix_ref[base + 2, q]
+                by = ix_ref[base + 3, q]
+                bx = ix_ref[base + 4, q]
+                band = group_refs[grp][q, pl.ds(by8, BAND), :].astype(
+                    jnp.float32)
+                band = pltpu.roll(band, sy, axis=0)
+                if wg % LANES == 0:
+                    patch = pltpu.roll(band[:16], sx, axis=1)[:sup, :16]
+                else:
+                    scratch_ref[:, 0:w2] = band[:16, :]
+                    patch = pltpu.roll(
+                        scratch_ref[:, 0:wp_pad], sx, axis=1
+                    )[:sup, :16]
+                valid = (iu >= -by) & (iu < h2 - by) & \
+                        (iv >= -bx) & (iv < w2 - bx)
+                sup_ref[q, :, :] = jnp.where(valid, patch, 0.0)
             if mode == "extract":
                 out_ref[:, lvl * cht : (lvl + 1) * cht] = (
                     jnp.zeros((tq, cht), jnp.float32) + sup_ref[0, 0, 0]
@@ -161,7 +134,7 @@ def main():
 
     names = [a for a in sys.argv[1:] if not a.startswith("--")
              and not a.lstrip("-").isdigit()] or [
-        "nothing", "noscalar", "noextract", "extract", "full"]
+        "nothing", "extract", "full"]
 
     pyr = build_padded_pyramid(f1, f2, 4, 4, out_dtype=jnp.bfloat16)
     orig = cp._plane_kernel
