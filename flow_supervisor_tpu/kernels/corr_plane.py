@@ -92,12 +92,15 @@ LANES = 128
 # than 2*BAND (level 0 at every recipe resolution): the group stays in HBM
 # (memory_space=ANY) and the kernel async-copies only the 16-row band each
 # query actually reads, instead of BlockSpec-DMAing the whole hp-row plane
-# per query. The lookup is DMA-bound (exp_plane_ablate: full 0.775 ms vs
-# plane-DMA floor 0.724 after the SMEM-fed index rework), and level 0's
-# whole-plane blocks are hp0/BAND = 4x the banded bytes at 448x1024.
-# Multi-member packed groups keep resident blocks: their hp_g is smaller
-# than the sum of their members' full-width bands. Probe: exp_band_dma.py.
-BAND_DMA = True
+# per query — a 3.5x byte cut on level 0 at 448x1024.
+#
+# MEASURED AND REJECTED (round 4, tools/exp_band_dma.py on TPU): 1.463 vs
+# 0.758 ms/all-levels-lookup — per-query async-copy ISSUE overhead (~0.14 us
+# x 7168 copies/lookup) is ~2x the whole-plane DMA bytes it saves; the
+# BlockSpec pipeline's few large per-tile block copies win. Kept as a probed
+# escape hatch: flips on per-query banding for single-member groups, bit-
+# exact vs the oracle (tests run the production value of this flag).
+BAND_DMA = False
 
 
 def _banded_groups(plans, level_meta):

@@ -108,8 +108,11 @@ def main():
 
     gru = SepConvGRU(128, 256, dtype)
     x = jnp.concatenate([inp, inp], axis=-1)  # any 256-ch input
-    ref = gru.apply({"params": gru_params}, net, x)
-    got = fused_sepconv_gru(gru_params, net, x)
+    # jit both: eager through the lazy relay dispatches each op separately
+    # and the final fetch can exceed the watchdog
+    ref = jax.jit(lambda p, h, xx: gru.apply({"params": p}, h, xx))(
+        gru_params, net, x)
+    got = jax.jit(fused_sepconv_gru)(gru_params, net, x)
     err = float(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)).max())
     # splitting the hx dot into h-dot + x-dot reassociates the K=1920 fp32
     # sum: ~2e-4 activation delta, not a bug (goldens arbitrate adoption)
