@@ -48,23 +48,23 @@ def build_model(cfg: ExperimentConfig) -> RAFT:
 
 
 def init_variables(model: RAFT, cfg: ExperimentConfig, rng_key=None):
+    # Init runs at SMALL fixed shapes: the variable tree (conv params, BN
+    # stats) is image-size independent, and initializing at recipe/eval
+    # shapes has two TPU costs: (a) an unjitted init dispatches each pallas
+    # lookup as its own standalone XLA program, where the compiler allocates
+    # the kernel OUTPUT on the scoped-vmem stack next to the kernel's working
+    # set — measured 17.15M > the 16M limit at 368x768; (b) jitting it
+    # instead pays a full-forward remote compile just to make zeros.
     rng_key = jax.random.PRNGKey(cfg.train.seed) if rng_key is None else rng_key
-    h, w = cfg.train.image_size
-    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     if model.cfg.teacher:
-        # init shapes don't affect conv params; resolve None (= per-stage
-        # bucket) through the same table the loader uses
-        from flow_supervisor_tpu.data.pipeline import resolve_full_size
-
-        stage = cfg.train.stage
-        unsup_stage = stage.split("-", 2)[1] if stage.startswith("semi-") else stage
-        fh, fw = resolve_full_size(unsup_stage, cfg.train.full_size)
+        full = jnp.zeros((1, 96, 128, 3), jnp.float32)
         return model.init(
             rng_key,
             img,
             img,
-            jnp.zeros((1, fh, fw, 3), jnp.float32),
-            jnp.zeros((1, fh, fw, 3), jnp.float32),
+            full,
+            full,
             jnp.zeros((1, 2), jnp.int32),
             train=False,
             method="semi_forward",

@@ -43,7 +43,28 @@ def main():
         lookup_backend=backend, scan_iters="--scan" in sys.argv,
     ).resolved()
     model = RAFT(cfg)
-    mc = ModelCfg(teacher_iters=iters, lfr_loss_type="robust")
+    # --ablate X: zero one branch to price it in the step (backward
+    # decomposition without the profiler — relay wedges on any trace):
+    #   nosup    : drop the whole sup branch (labeled fwd+bwd, incl. teacher
+    #              L_fl) — step = unsup branch only
+    #   nounsup  : drop the whole unsup branch — step = sup branch only
+    #   noteacher: lfl_weight=0 — sup branch keeps the student loss but the
+    #              teacher's full-res backward disappears (its fwd remains:
+    #              semi_forward still computes it; XLA dead-codes the
+    #              teacher-only grads)
+    #   nolfr    : lfr_weight=0 — unsup branch computes forwards but no
+    #              student-from-teacher backward
+    ablate = (
+        sys.argv[sys.argv.index("--ablate") + 1] if "--ablate" in sys.argv
+        else None
+    )
+    mc = ModelCfg(
+        teacher_iters=iters, lfr_loss_type="robust",
+        sup_weight=0.0 if ablate == "nosup" else 1.0,
+        unsup_weight=0.0 if ablate == "nounsup" else 1.0,
+        lfl_weight=0.0 if ablate == "noteacher" else 1.0,
+        lfr_weight=0.0 if ablate == "nolfr" else 1.0,
+    )
 
     rng = np.random.default_rng(0)
     img = lambda s: jnp.asarray(rng.uniform(0, 1, s), jnp.float32)
@@ -64,10 +85,15 @@ def main():
         "crop_yx": jnp.zeros((1, 2), jnp.int32) + 16,
     }
 
+    # init at SMALL shapes: the variable tree is image-size independent, and
+    # an unjitted init at recipe shapes dispatches standalone pallas programs
+    # whose outputs land on the scoped-vmem stack (17.15M > 16M at 368x768 —
+    # see training/loop.py init_variables)
     variables = model.init(
         jax.random.PRNGKey(0),
-        sup["image1"], sup["image2"], sup["orig_image1"], sup["orig_image2"],
-        sup["crop_yx"], train=False, method="semi_forward",
+        img((1, 64, 64, 3)), img((1, 64, 64, 3)),
+        img((1, 96, 128, 3)), img((1, 96, 128, 3)),
+        jnp.zeros((1, 2), jnp.int32), train=False, method="semi_forward",
     )
     tx = adamw(lambda s: 1e-5, lambda s: 0.0)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
