@@ -39,7 +39,7 @@ def main():
     cfg = RAFTConfig(
         iters=iters, teacher=True, teacher_iters=iters, freeze_bn=True,
         dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16,
-        update_ckpt="--no-remat" not in sys.argv,
+        update_ckpt="--remat" in sys.argv,  # production default: no remat (fits HBM at B=1 recipe shapes; 2.74 vs 2.35 steps/sec)
         lookup_backend=backend, scan_iters="--scan" in sys.argv,
     ).resolved()
     model = RAFT(cfg)
@@ -97,7 +97,9 @@ def main():
     )
     tx = adamw(lambda s: 1e-5, lambda s: 0.0)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
-    step = make_semi_train_step(model, mc, donate=False)
+    # donate=True matches the production loop (training/loop.py) — the old
+    # state buffer is reused in place instead of copied each step
+    step = make_semi_train_step(model, mc, donate=True)
 
     state, log = step(state, sup, unsup)
     jax.block_until_ready(state.params)
