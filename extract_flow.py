@@ -81,7 +81,7 @@ def _run(args):
         for rec in frames_directory(src):
             img1 = read_image(rec.images[0])
             img2 = read_image(rec.images[1])
-            results, _ = ev._run_pair(img1, img2, "sintel", None)
+            results, _ = ev._run_pair(ev.variables, img1, img2, "sintel", None)
             flow = np.asarray(results["student"])[0]
             name = os.path.basename(rec.images[0])
             write_flo(os.path.join(flo_dir, name + ".flo"), flow)

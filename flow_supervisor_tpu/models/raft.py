@@ -300,6 +300,10 @@ class RAFT(nn.Module):
                 corr = corr_pyramid_lookup_plane(
                     corr_pyramid, coords1, mdl.cfg.corr_radius,
                     dy_major=mdl.cfg.dy_major_corr,
+                    # write the consumer dtype straight from the kernel: the
+                    # f32->dtype cast below becomes a no-op (bit-identical,
+                    # skips a [BQ, L*k^2] f32 round-trip per iteration)
+                    out_dtype=mdl.cfg.dtype,
                 )
             elif mdl.cfg.lookup_backend == "fused":
                 from flow_supervisor_tpu.kernels.corr_fused import (
@@ -309,6 +313,7 @@ class RAFT(nn.Module):
                 corr = corr_pyramid_lookup_fused(
                     corr_pyramid, coords1, mdl.cfg.corr_radius,
                     dy_major=mdl.cfg.dy_major_corr,
+                    out_dtype=mdl.cfg.dtype,  # see plane-backend note above
                 )
             else:
                 corr = corr_pyramid_lookup(

@@ -87,3 +87,28 @@ def test_train_cli_end_to_end(fake_chairs, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     payload = json.loads(out[out.index("{"):])
     assert "student_epe" in payload and np.isfinite(payload["student_epe"])
+
+    # extract_flow on a tiny frame dir with the same ckpt (reference
+    # extract_flow.py:118-156: pairwise inference -> .flo + HSV png)
+    frames = tmp_path / "frames"
+    outdir = tmp_path / "extract"
+    frames.mkdir()
+    for i in range(3):
+        _write_ppm(str(frames / f"frame_{i:04d}.png"), 64, 96, seed=50 + i)
+    argv = [
+        "extract_flow.py", ckpt_dir,
+        "--source_dirs", str(frames),
+        "--target_dirs", str(outdir),
+        "--eval_iters", "1",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    import extract_flow as extract_cli
+
+    extract_cli.main()
+    from flow_supervisor_tpu.data.io import read_flo
+
+    flos = sorted((outdir / "flo").iterdir())
+    pngs = sorted((outdir / "vis").iterdir())
+    assert len(flos) == 2 and len(pngs) == 2  # 3 frames -> 2 pairs
+    flow = read_flo(str(flos[0]))
+    assert flow.shape == (64, 96, 2) and np.isfinite(flow).all()
