@@ -602,13 +602,25 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
 
     g: [B, h1, w1, L*k^2] output cotangent -> list of d_vol [B, Q, h2, w2]
     per level. Pure transposed math (shifted pads + one-hot scatters); shared
-    by corr_lookup_v2's VJP, which pads these into its plane layout."""
+    by corr_lookup_v2's VJP, which pads these into its plane layout.
+
+    When the cotangent arrives in bf16 (the production out_dtype — the
+    forward emits the consumer dtype directly), d_vol is emitted in bf16 from
+    bf16 MXU operands: the transient [B, Q, h2, w2] cotangent volume is the
+    dominant HBM traffic of the whole lookup backward (~100-250 MB per
+    backward lookup at recipe shapes, written once and read twice), and fp32
+    operands would also force the d_f1/d_f2 contractions onto the ~8x slower
+    fp32 MXU path. The interpolation weights themselves (g_sup lerp, t) stay
+    in fp32; only the final factor product and its product operands drop to
+    bf16 — no worse than the forward's own precision, since g itself already
+    lived in bf16. fp32 cotangents (tests, oracles) keep the all-fp32 path."""
     from flow_supervisor_tpu.ops.corr import _interp_matrix
 
     b, h1, w1, _ = g.shape
     q = h1 * w1
     k = 2 * radius + 1
     sup = k + 1
+    vol_dtype = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
     gq = g.reshape(b, q, len(shapes), k * k).astype(jnp.float32)
     d_vols = []
     for lvl, (h2, w2) in enumerate(shapes):
@@ -633,7 +645,10 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
         )
         d_vols.append(
             jnp.einsum(
-                "bqvy,bqvx->bqyx", t, rx, preferred_element_type=jnp.float32
+                "bqvy,bqvx->bqyx",
+                t.astype(vol_dtype),
+                rx.astype(vol_dtype),
+                preferred_element_type=vol_dtype,
             )
         )
     return d_vols
@@ -666,13 +681,17 @@ def _lookup_bwd(shapes, h1w1, radius, plane_dtype_name, dy_major,
     d_f1 = jnp.zeros((b, q, c), jnp.float32)
     d_f2gs = []
     for (h2, w2), f2g, d_vol in zip(shapes, f2gs, d_vols):
-        f2t = _ungroup_f2(f2g, h2, w2).astype(jnp.float32)  # [B, h2, C, w2]
+        # operands stay in d_vol's dtype (bf16 in production — see
+        # lookup_vjp_dvols): the MXU accumulates these contractions in fp32
+        # either way via preferred_element_type, but fp32 OPERANDS would run
+        # at ~1/8 MXU throughput and double the d_vol/f2 read traffic
+        f2t = _ungroup_f2(f2g, h2, w2).astype(d_vol.dtype)  # [B, h2, C, w2]
         # d_plane = scale * d_vol; then the two transposed factor products
         d_f1 += scale * jnp.einsum(
             "bqyx,bycx->bqc", d_vol, f2t, preferred_element_type=jnp.float32
         )
         d_f2 = scale * jnp.einsum(
-            "bqyx,bqc->bycx", d_vol, f1.astype(jnp.float32),
+            "bqyx,bqc->bycx", d_vol, f1.astype(d_vol.dtype),
             preferred_element_type=jnp.float32,
         )
         d_f2gs.append(_regroup_d_f2(d_f2, f2g))

@@ -103,6 +103,31 @@ def test_vjp_matches_oracle_autodiff(dy_major):
     np.testing.assert_allclose(np.asarray(dm2), np.asarray(do2), atol=2e-4)
 
 
+def test_vjp_bf16_cotangent_close_to_fp32():
+    """The production backward (bf16 cotangents -> bf16 transient d_vol and
+    bf16 MXU operands, corr_fused.lookup_vjp_dvols) tracks the all-fp32
+    closed-form path to bf16 precision. The transient cotangent volume is the
+    lookup backward's dominant HBM traffic; it must not silently re-promote
+    to fp32."""
+    f1, f2, coords = _setup(c=16)
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(1, 8, 16, 2 * 81), jnp.float32
+    )
+
+    def loss(f1_, f2_, dt):
+        pyr = cf.build_fused_pyramid(f1_, f2_, 2, R)
+        out = cf.corr_pyramid_lookup_fused(pyr, coords, R, out_dtype=dt)
+        return jnp.vdot(out.astype(jnp.float32), g)
+
+    d32 = jax.grad(lambda a_, b_: loss(a_, b_, jnp.float32), (0, 1))(f1, f2)
+    d16 = jax.grad(lambda a_, b_: loss(a_, b_, jnp.bfloat16), (0, 1))(f1, f2)
+    for a, b in zip(d16, d32):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(b).max()
+        assert denom > 0
+        assert np.abs(a - b).max() / denom < 2e-2
+
+
 def test_streaming_chunks_match_resident(monkeypatch):
     """Force the per-level row-group streaming path (used when fmap2 exceeds
     VMEM: the plane slab accumulates over grid dim 2) and check it agrees
