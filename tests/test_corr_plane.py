@@ -110,6 +110,27 @@ def test_vjp_matches_oracle_autodiff(dy_major):
     np.testing.assert_allclose(np.asarray(dm2), np.asarray(do2), atol=2e-4)
 
 
+def test_vjp_bf16_cotangent_close_to_fp32():
+    """bf16 lookup output -> bf16 transient d_vol in the shared
+    lookup_vjp_dvols (corr_fused.py): the plane backend's backward must stay
+    close to its all-fp32 path."""
+    f1, f2, coords = _setup(c=16)
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(1, 8, 16, 2 * 81), jnp.float32
+    )
+
+    def loss(f1_, f2_, dt):
+        pyr = build_padded_pyramid(f1_, f2_, 2, R)
+        out = cp.corr_pyramid_lookup_plane(pyr, coords, R, out_dtype=dt)
+        return jnp.vdot(out.astype(jnp.float32), g)
+
+    d32 = jax.grad(lambda a_, b_: loss(a_, b_, jnp.float32), (0, 1))(f1, f2)
+    d16 = jax.grad(lambda a_, b_: loss(a_, b_, jnp.bfloat16), (0, 1))(f1, f2)
+    for a, b in zip(d16, d32):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / np.abs(b).max() < 2e-2
+
+
 def test_plan_groups_packing():
     """448x1024-family shapes: levels 1-3 (64+32+16 lanes) share ONE 128-lane
     group; level 0 (128) gets its own. KITTI-family: the wide level 0 (156)
