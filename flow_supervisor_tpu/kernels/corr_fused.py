@@ -37,12 +37,19 @@ resolution (reference trains at bs 6-10, train.sh:3-6). Feature maps are
 streamed per row-group chunk when fmap2 does not fit in VMEM (grid dim YC in
 the per-level fallback), so >1080p single-chip eval compiles with bf16 planes.
 
-Gradients: a custom VJP computes d(fmap1)/d(fmap2) directly as transposed
-one-hot einsums (scatter into a transient d_volume, then two big MXU
-contractions) — residuals are just (fmap1, grouped pooled fmap2, coords);
-nothing of the forward is re-run. Coordinate gradients are zero by the
-reference's own contract (coords are detached before every lookup,
-raft/__init__.py:155).
+Gradients: a custom VJP with residuals (fmap1, grouped pooled fmap2, coords)
+— nothing of the forward is re-run. At batch 1 on TPU the backward is
+VOLUME-FREE too (alt_cuda_corr backward parity,
+correlation_kernel.cu:121-199): mirror Pallas kernels scatter each query
+tile's support cotangents into a VMEM slab (the inverse of the forward's
+slice+roll extraction) and contract it against the resident factors in
+place, so no cotangent volume ever touches HBM. Elsewhere (b > 1,
+oversized levels, FST_BWD_KERNEL=0) the closed-form einsum path runs:
+transposed one-hot einsums through a transient d_volume — in bf16 end to
+end when the cotangent is bf16 (the d_volume is that path's dominant HBM
+traffic, and fp32 operands would run the contractions at ~1/8 MXU
+throughput). Coordinate gradients are zero by the reference's own contract
+(coords are detached before every lookup, raft/__init__.py:155).
 """
 from __future__ import annotations
 
@@ -597,6 +604,19 @@ def _lookup_impl(
 # ---- custom VJP: direct transposed einsums, no forward recompute -----------
 
 
+def _support_cotangent(gl, fy, fx):
+    """[B, Q, k, k] dy-major window cotangent -> [B, Q, SUP, SUP] support
+    cotangent: the transposed 4-tap bilinear lerp (d_support[u, v] =
+    sum_taps w_tap * g[u - a, v - b]). Shared by the einsum path and the
+    volume-free backward kernels' prologue."""
+    return (
+        (1 - fy) * (1 - fx) * jnp.pad(gl, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        + (1 - fy) * fx * jnp.pad(gl, ((0, 0), (0, 0), (0, 1), (1, 0)))
+        + fy * (1 - fx) * jnp.pad(gl, ((0, 0), (0, 0), (1, 0), (0, 1)))
+        + fy * fx * jnp.pad(gl, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    )
+
+
 def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
     """Cotangent of any bilinear window lookup w.r.t. the (virtual) volumes.
 
@@ -631,13 +651,7 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
         gl = gq[:, :, lvl].reshape(b, q, k, k)
         if not dy_major:
             gl = jnp.swapaxes(gl, -1, -2)  # dx-major channels -> [dy, dx]
-        # d_support[u, v] = sum_taps w_tap * g[u - a, v - b]
-        g_sup = (
-            (1 - fy) * (1 - fx) * jnp.pad(gl, ((0, 0), (0, 0), (0, 1), (0, 1)))
-            + (1 - fy) * fx * jnp.pad(gl, ((0, 0), (0, 0), (0, 1), (1, 0)))
-            + fy * (1 - fx) * jnp.pad(gl, ((0, 0), (0, 0), (1, 0), (0, 1)))
-            + fy * fx * jnp.pad(gl, ((0, 0), (0, 0), (1, 0), (1, 0)))
-        )  # [B, Q, SUP, SUP]
+        g_sup = _support_cotangent(gl, fy, fx)  # [B, Q, SUP, SUP]
         ry = _interp_matrix(y, h2, radius)  # [B, Q, SUP, h2]
         rx = _interp_matrix(x, w2, radius)  # [B, Q, SUP, w2]
         t = jnp.einsum(
@@ -652,6 +666,249 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
             )
         )
     return d_vols
+
+
+# ---- volume-free backward kernels (b == 1 TPU fast path) -------------------
+#
+# The einsum backward above materializes a transient cotangent volume
+# d_vol [B, Q, h2, w2] per level in HBM (written once, read twice) — the very
+# volume-sized object the forward exists to avoid (alt_cuda_corr's backward,
+# correlation_kernel.cu:121-199, is volume-free too). These kernels mirror
+# the forward: each grid step SCATTERS its query tile's masked support
+# cotangents into a zeroed [TQ, hp, wp] slab in VMEM (the exact inverse of
+# _extract_and_combine's slice+roll extraction) and immediately contracts the
+# slab against the resident factor — d_f1 = slab x f2 columns per row-group,
+# d_f2 = f1^T x slab accumulated across query tiles into a VMEM-resident
+# output. Nothing volume-sized ever touches HBM in either direction.
+
+import os as _os
+
+# module flag: force the einsum backward when False (env override for
+# detached benchmark harnesses that must survive a Mosaic regression)
+BWD_KERNEL = _os.environ.get("FST_BWD_KERNEL", "1") == "1"
+
+
+def _bwd_scatter(idx_ref, dsup_ref, plane_ref, *, tq, wp):
+    """Inverse of the forward extraction: place each query's [16, 16] support
+    cotangent at its band position in the query's OWN (zeroed) slab plane.
+
+    Forward: window row u = roll(band, sy)[u] = band[(u + by - by8) % BAND],
+    window col v = roll(row, sx)[v] = row[(v + bx) % wp]. Wrapped rows/lanes
+    carry only entries the prologue's validity mask already zeroed (taps
+    outside [0, h2) x [0, w2) — same argument as the forward's post-roll
+    mask). Stores, not adds: distinct queries own distinct slab rows.
+
+    dsup is packed [TQ/8, BAND, 8*16] (8 queries per lane group, rows
+    pre-padded to BAND in the prologue): per query the WHOLE padded group is
+    lane-rolled so the query's 16 patch lanes land at bx mod wp, then a
+    rolled constant lane mask zeroes the 7 sibling queries' lanes — Mosaic
+    cannot pad or concat a lane-offset slice in-kernel, so the patch is never
+    sliced at all."""
+    plane_ref[...] = jnp.zeros(plane_ref.shape, plane_ref.dtype)
+    lane16 = (
+        jax.lax.broadcasted_iota(jnp.int32, (BAND, wp), 1) < 16
+    ).astype(jnp.float32)
+    for q in range(tq):
+        by8 = pl.multiple_of(idx_ref[0, q], 8)
+        sy = idx_ref[1, q]
+        bx = idx_ref[4, q]
+        group = dsup_ref[q // 8].astype(jnp.float32)  # [BAND, 128]
+        if wp > 128:
+            group = jnp.pad(group, ((0, 0), (0, wp - 128)))
+        # lane ℓ of the rolled group holds source lane (ℓ - r) % wp; with
+        # r = (bx - 16*(q%8)) % wp the patch cols land at ℓ = (bx + v) % wp
+        r = jax.lax.rem(bx - 16 * (q % 8) + 2 * wp, wp)
+        band = pltpu.roll(group, r, axis=1)
+        mask = pltpu.roll(lane16, jax.lax.rem(bx + wp, wp), axis=1)
+        band = band * mask  # exact: mask is 0/1, sibling junk is finite
+        band = pltpu.roll(band, jax.lax.rem(BAND - sy, BAND), axis=0)
+        plane_ref[q, pl.ds(by8, BAND), 0:wp] = band
+
+
+def _bwd_df1_kernel(idx_ref, dsup_ref, f2_ref, out_ref, plane_ref,
+                    *, tq, wp, ngr, op_dtype, highest):
+    _bwd_scatter(idx_ref, dsup_ref, plane_ref, tq=tq, wp=wp)
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    acc = None
+    for g in range(ngr):
+        seg = plane_ref[:, 8 * g : 8 * (g + 1), 0:wp].reshape(tq, 8 * wp)
+        p = jax.lax.dot_general(
+            seg.astype(op_dtype), f2_ref[0, g],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc = p if acc is None else acc + p
+    out_ref[:, :] = acc
+
+
+def _bwd_df2_kernel(idx_ref, dsup_ref, f1_ref, out_ref, plane_ref,
+                    *, tq, wp, ngr, op_dtype, highest):
+    _bwd_scatter(idx_ref, dsup_ref, plane_ref, tq=tq, wp=wp)
+    precision = jax.lax.Precision.HIGHEST if highest else None
+    f1t = f1_ref[0].astype(op_dtype)
+    first = pl.program_id(0) == 0
+    for g in range(ngr):
+        seg = (
+            plane_ref[:, 8 * g : 8 * (g + 1), 0:wp]
+            .reshape(tq, 8 * wp)
+            .astype(op_dtype)
+        )
+        p = jax.lax.dot_general(
+            f1t, seg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [C, 8*wp], accumulated across query tiles in the resident output
+
+        @pl.when(first)
+        def _():
+            out_ref[g, :, :] = p
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[g, :, :] = out_ref[g, :, :] + p
+
+
+def _fused_level_bwd(f1p, f2g, dsup, coords_lvl, hw, radius, interpret=None):
+    """One level's volume-free backward: (d_f1 [QP, C] f32,
+    d_f2g [1, G, C, 8*WP] f32) — or None when the slab + resident factor
+    exceed the VMEM budget (caller falls back to the einsum path).
+
+    ``dsup``: [QP/8, 16, 128] masked+scaled support cotangents (8 queries per
+    lane group); ``coords_lvl``: [1, QP, 2] level-scaled coords."""
+    interpret = _auto_interpret(interpret)
+    b, qp, c = f1p.shape
+    assert b == 1, b
+    h2, w2 = hw
+    g_total = f2g.shape[1]
+    wp = f2g.shape[-1] // 8
+    hp = max(plane_height(h2), 8 * g_total)
+    tq = _pick_tq(qp, 8 if interpret else 128)
+    resident = max(
+        g_total * c * 8 * wp * f2g.dtype.itemsize,  # df1: factor
+        g_total * c * 8 * wp * 4,                   # df2: f32 accumulator
+    )
+    while tq > 8 and tq * hp * wp * 4 + resident > _MERGED_BUDGET:
+        tq //= 2
+    if tq * hp * wp * 4 + resident > _MERGED_BUDGET:
+        return None
+    qt = qp // tq
+
+    cx0 = coords_lvl[..., 0].reshape(qp).astype(jnp.float32)
+    cy0 = coords_lvl[..., 1].reshape(qp).astype(jnp.float32)
+    idx = jnp.stack(
+        _level_index_planes(cx0, cy0, 0, h2, w2, hp, wp, radius), axis=0
+    ).astype(jnp.int32)
+    idx = jnp.pad(idx, ((0, 3), (0, 0)))
+    idx = idx.reshape(8, qt, tq).swapaxes(0, 1).reshape(qt * 8, tq)
+
+    op_dtype = f2g.dtype
+    highest = f2g.dtype == jnp.float32
+    idx_spec = pl.BlockSpec((8, tq), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    dsup_spec = pl.BlockSpec(
+        (tq // 8, BAND, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    slab = pltpu.VMEM((tq, hp, wp), jnp.float32)
+
+    d_f1 = pl.pallas_call(
+        functools.partial(
+            _bwd_df1_kernel,
+            tq=tq, wp=wp, ngr=g_total, op_dtype=op_dtype, highest=highest,
+        ),
+        grid=(qt,),
+        in_specs=[
+            idx_spec,
+            dsup_spec,
+            pl.BlockSpec(
+                (1,) + f2g.shape[1:], lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((tq, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((qp, c), jnp.float32),
+        scratch_shapes=[slab],
+        interpret=interpret,
+    )(idx, dsup, f2g)
+
+    d_f2g = pl.pallas_call(
+        functools.partial(
+            _bwd_df2_kernel,
+            tq=tq, wp=wp, ngr=g_total, op_dtype=op_dtype, highest=highest,
+        ),
+        grid=(qt,),
+        in_specs=[
+            idx_spec,
+            dsup_spec,
+            pl.BlockSpec(
+                (1, tq, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (g_total, c, 8 * wp), lambda i: (0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_total, c, 8 * wp), jnp.float32),
+        scratch_shapes=[slab],
+        interpret=interpret,
+    )(idx, dsup, f1p)
+    return d_f1, d_f2g[None]
+
+
+def _try_bwd_kernel(f1, f2gs, shapes, radius, dy_major, coords, g):
+    """Volume-free backward for all levels, or None (einsum fallback) when
+    any level's slab does not fit — all-or-nothing keeps the paths legible."""
+    b, q0, c = f1.shape
+    k = 2 * radius + 1
+    sup = k + 1
+    f1p, coords_p, q_real, qp = _pad_queries(f1, coords.reshape(b, q0, 2))
+    gq = g.reshape(b, q0, len(shapes), k * k)
+    gq = gq.astype(jnp.float32)
+    if qp != q0:
+        gq = jnp.pad(gq, ((0, 0), (0, qp - q0), (0, 0), (0, 0)))
+    scale = 1.0 / math.sqrt(c)
+    iu = jnp.arange(sup)[None, None, :, None]
+    iv = jnp.arange(sup)[None, None, None, :]
+
+    plans = []
+    for lvl, ((h2, w2), f2g) in enumerate(zip(shapes, f2gs)):
+        cl = coords_p / (2.0 ** lvl)
+        x, y = cl[..., 0], cl[..., 1]
+        fx = (x - jnp.floor(x))[..., None, None]
+        fy = (y - jnp.floor(y))[..., None, None]
+        gl = gq[:, :, lvl].reshape(b, qp, k, k)
+        if not dy_major:
+            gl = jnp.swapaxes(gl, -1, -2)
+        g_sup = _support_cotangent(gl, fy, fx)
+        # clip exactly like _level_index_planes so the mask matches what the
+        # kernel's roll placement sees
+        by = jnp.clip(jnp.floor(y).astype(jnp.int32) - radius, -sup, h2)
+        bx = jnp.clip(jnp.floor(x).astype(jnp.int32) - radius, -sup, w2)
+        valid = (
+            (iu >= -by[..., None, None])
+            & (iu < h2 - by[..., None, None])
+            & (iv >= -bx[..., None, None])
+            & (iv < w2 - bx[..., None, None])
+        )
+        dsup = jnp.where(valid, g_sup, 0.0) * scale
+        # rows pre-padded to BAND (the kernel cannot pad a lane-offset value)
+        dsup = jnp.pad(
+            dsup, ((0, 0), (0, 0), (0, BAND - sup), (0, 16 - sup))
+        )
+        # [1, QP, BAND, 16] -> [QP/8, BAND, 8*16]: 8 queries per lane group
+        dsup = (
+            dsup.reshape(qp // 8, 8, BAND, 16)
+            .transpose(0, 2, 1, 3)
+            .reshape(qp // 8, BAND, 128)
+        )
+        plans.append((dsup, cl, (h2, w2), f2g))
+
+    d_f1 = jnp.zeros((qp, c), jnp.float32)
+    d_f2gs = []
+    for dsup, cl, hw, f2g in plans:
+        r = _fused_level_bwd(f1p, f2g, dsup, cl, hw, radius)
+        if r is None:
+            return None
+        d_f1 = d_f1 + r[0]
+        d_f2gs.append(r[1].astype(f2g.dtype))
+    d_f1 = d_f1[:q_real].reshape(b, q_real, c).astype(f1.dtype)
+    return d_f1, d_f2gs, jnp.zeros_like(coords)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -676,6 +933,10 @@ def _lookup_bwd(shapes, h1w1, radius, plane_dtype_name, dy_major,
                 out_dtype_name, res, g):
     f1, f2gs, coords = res
     b, q, c = f1.shape
+    if BWD_KERNEL and b == 1:
+        r = _try_bwd_kernel(f1, f2gs, shapes, radius, dy_major, coords, g)
+        if r is not None:
+            return r
     scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
     d_vols = lookup_vjp_dvols(g, coords, shapes, radius, dy_major)
     d_f1 = jnp.zeros((b, q, c), jnp.float32)

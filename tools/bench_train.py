@@ -122,8 +122,11 @@ def main():
         state, log = step(state, sup_i, unsup)
     # honest sync: the relay's block_until_ready can return before execution;
     # a VALUE fetch of the last step's loss (state-chained through all n
-    # steps) is the only trustworthy barrier (docs/PERF.md methodology)
-    assert np.isfinite(float(log["sup_loss"]))
+    # steps) is the only trustworthy barrier (docs/PERF.md methodology).
+    # Under --ablate the sup branch may not exist — sync on whichever
+    # branch's loss is in the log.
+    sync_key = "sup_loss" if "sup_loss" in log else "unsup_loss"
+    assert np.isfinite(float(log[sync_key]))
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
         "metric": "semi_train_steps_per_sec",

@@ -78,30 +78,43 @@ def main():
         else 24
     )
     shapes = {"teacher_432x1024": (54, 128), "sup_400x720": (50, 90)}
+    # (label, cotangent dtype, use the volume-free backward kernels)
+    variants = (
+        ("einsum_fp32", jnp.float32, False),
+        ("einsum_bf16", jnp.bfloat16, False),
+        ("kernel_bf16", jnp.bfloat16, True),
+    )
     for name, (h8, w8) in shapes.items():
         fns = {}
-        for dt_name, dt in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
-            fn, f1, f2 = build(h8, w8, 256, dt, reps)
-            t0 = time.perf_counter()
-            v = float(fn(f1, f2, jnp.bfloat16(0)))
-            print(
-                f"{name} {dt_name} warm: {v:.3e} "
-                f"({time.perf_counter() - t0:.0f}s)",
-                flush=True,
-            )
-            fns[dt_name] = (fn, f1, f2)
+        for vname, dt, use_kernel in variants:
+            cf.BWD_KERNEL = use_kernel  # captured at trace time (first call)
+            try:
+                fn, f1, f2 = build(h8, w8, 256, dt, reps)
+                t0 = time.perf_counter()
+                v = float(fn(f1, f2, jnp.bfloat16(0)))
+                print(
+                    f"{name} {vname} warm: {v:.3e} "
+                    f"({time.perf_counter() - t0:.0f}s)",
+                    flush=True,
+                )
+                fns[vname] = (fn, f1, f2)
+            except Exception as e:  # Mosaic regression must not kill the A/B
+                print(f"{name} {vname} FAILED {type(e).__name__}: {e}",
+                      flush=True)
+            finally:
+                cf.BWD_KERNEL = True
         times = {k: [] for k in fns}
         for r in range(3):
-            for dt_name, (fn, f1, f2) in fns.items():
+            for vname, (fn, f1, f2) in fns.items():
                 t0 = time.perf_counter()
                 float(fn(f1, f2, jnp.bfloat16(r + 1) * 1e-6))
                 dt_ms = (time.perf_counter() - t0) / reps * 1e3
-                times[dt_name].append(dt_ms)
-                print(f"round {r} {name} {dt_name}: {dt_ms:7.3f} ms/fwd+bwd",
+                times[vname].append(dt_ms)
+                print(f"round {r} {name} {vname}: {dt_ms:7.3f} ms/fwd+bwd",
                       flush=True)
-        for dt_name, ts in times.items():
+        for vname, ts in times.items():
             med = sorted(ts)[len(ts) // 2]
-            print(f"{name} {dt_name}: {med:7.3f} ms/fwd+bwd (median)",
+            print(f"{name} {vname}: {med:7.3f} ms/fwd+bwd (median)",
                   flush=True)
 
 
