@@ -38,13 +38,14 @@ streamed per row-group chunk when fmap2 does not fit in VMEM (grid dim YC in
 the per-level fallback), so >1080p single-chip eval compiles with bf16 planes.
 
 Gradients: a custom VJP with residuals (fmap1, grouped pooled fmap2, coords)
-— nothing of the forward is re-run. At batch 1 on TPU the backward is
-VOLUME-FREE too (alt_cuda_corr backward parity,
-correlation_kernel.cu:121-199): mirror Pallas kernels scatter each query
-tile's support cotangents into a VMEM slab (the inverse of the forward's
-slice+roll extraction) and contract it against the resident factors in
-place, so no cotangent volume ever touches HBM. Elsewhere (b > 1,
-oversized levels, FST_BWD_KERNEL=0) the closed-form einsum path runs:
+— nothing of the forward is re-run. A VOLUME-FREE backward also exists
+(alt_cuda_corr backward parity, correlation_kernel.cu:121-199): mirror
+Pallas kernels scatter each query tile's support cotangents into a VMEM
+slab (the inverse of the forward's slice+roll extraction) and contract it
+against the resident factors in place, so no cotangent volume ever touches
+HBM. It is opt-in (FST_BWD_KERNEL=1, b == 1 only) for memory-bound regimes:
+priced on TPU it LOSES to the default closed-form einsum path by ~1.5x
+(see the BWD_KERNEL note below). The default einsum path runs:
 transposed one-hot einsums through a transient d_volume — in bf16 end to
 end when the cotangent is bf16 (the d_volume is that path's dominant HBM
 traffic, and fp32 operands would run the contractions at ~1/8 MXU
@@ -683,9 +684,15 @@ def lookup_vjp_dvols(g, coords, shapes, radius, dy_major):
 
 import os as _os
 
-# module flag: force the einsum backward when False (env override for
-# detached benchmark harnesses that must survive a Mosaic regression)
-BWD_KERNEL = _os.environ.get("FST_BWD_KERNEL", "1") == "1"
+# module flag: opt IN to the scatter-kernel backward with FST_BWD_KERNEL=1.
+# Priced on TPU (tools/exp_bwd_lookup.py, round 4): the einsum closed-form
+# VJP wins at recipe shapes — 3.5 vs 5.2 ms/fwd+bwd (teacher 432x1024) and
+# 2.7 vs 3.9 (sup 400x720); the per-query scatter+contract grid underuses
+# the MXU relative to the two big transposed one-hot einsums, and the
+# transient d_volume's HBM traffic (~0.4 ms/level) is not the bottleneck.
+# The kernel stays available for memory-bound regimes where a d_volume
+# cannot be materialized (it is the only volume-free backward).
+BWD_KERNEL = _os.environ.get("FST_BWD_KERNEL", "0") == "1"
 
 
 def _bwd_scatter(idx_ref, dsup_ref, plane_ref, *, tq, wp):

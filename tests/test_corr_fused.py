@@ -75,11 +75,16 @@ def test_pyramid_is_pytree():
     assert back.shapes == pyr.shapes and back.radius == R
 
 
+@pytest.mark.parametrize("bwd_kernel", [False, True])
 @pytest.mark.parametrize("dy_major", [False, True])
-def test_vjp_matches_oracle_autodiff(dy_major):
+def test_vjp_matches_oracle_autodiff(dy_major, bwd_kernel, monkeypatch):
     """Gradients w.r.t. BOTH fmaps agree with autodiff through the
     materialized-volume oracle — and nothing of the forward is re-run: the
-    bwd is closed-form transposed einsums over (f1, f2 factors, coords)."""
+    bwd is closed-form transposed einsums over (f1, f2 factors, coords).
+    Covers BOTH backward paths: the default einsum VJP (BWD_KERNEL=False,
+    the measured winner — tools/exp_bwd_lookup.py) and the opt-in
+    volume-free scatter kernel (BWD_KERNEL=True, the memory-bound path)."""
+    monkeypatch.setattr(cf, "BWD_KERNEL", bwd_kernel)
     f1, f2, coords = _setup(c=16)
     g = jnp.asarray(
         np.random.RandomState(3).randn(1, 8, 16, 2 * 81), jnp.float32
