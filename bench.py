@@ -15,10 +15,15 @@ largest batch that fits is a legitimate configuration, B=1 launch latency is
 not the metric.
 
 Ladder discipline (rounds 2+3 both recorded 0.0; this is the fix):
-- The opener is ALWAYS the pure-XLA einsum backend in scan mode — the
-  smallest HLO of any config (the round-4 rehearsal showed compile time, not
-  run time, is what wedges: the unrolled einsum opener blew a 180 s cap twice
-  while every scan config banked) — with a hard 240 s cap.
+- The opener is the config with the best BANKING record under driver
+  conditions, not the smallest HLO: fused B=1 scan compiled in 69-100 s and
+  banked 3/3 round-4 subprocess-ladder runs (32.7 / 32.7 / 33.3 pairs/sec,
+  two VMs), while the einsum scan opener watchdog'd its 240 s cap 2/2 on the
+  fresh-VM rerun — the remote compile service's time is config-erratic, so
+  the empirically-fast-compiling config banks first. einsum runs SECOND,
+  where the fair-share cap (up to 420 s) gives it more headroom than the
+  opener slot would.
+- The opener has a hard 240 s cap so a bad relay day costs at most one slot.
 - Every config gets exactly ONE attempt in the first pass, with a fair-share
   time cap (remaining budget / remaining configs, clamped to [150, 420] s),
   so a string of wedged configs can never starve the later ones: all five
@@ -54,14 +59,15 @@ TF_GPU_BASELINE_PAIRS_PER_SEC = 10.0
 METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
-# (backend, batch, scan_iters). Opener = the cheapest-compile pure-XLA config
-# (einsum scan: 23.6 pairs/sec in r3; the round-4 dress rehearsal measured the
-# UNROLLED einsum opener wedging its 180 s cap twice — 12x the HLO — while
-# every scan config banked). Round-4 rehearsal numbers for the rest:
-# fused B=1 32.7 / plane B=1 30.6 / plane B=4 28.5; fused B=8 wedged at 420 s.
+# (backend, batch, scan_iters). Opener = the config that BANKS most reliably
+# under driver conditions (see docstring): fused B=1 scan banked 3/3 round-4
+# subprocess-ladder runs (32.7 / 32.7 / 33.3 pairs/sec, compile 69-100 s,
+# two VMs) while einsum scan watchdog'd its opener cap 2/2 on the fresh-VM
+# rerun. Other rehearsal numbers: plane B=1 30.6 / plane B=4 28.5; fused B=8
+# wedged at 420 s (kept last as the high-upside memory-scaling config).
 LADDER = [
-    ("einsum", 1, True),   # BANKER: smallest HLO of any config
-    ("fused", 1, True),    # rehearsal best
+    ("fused", 1, True),    # BANKER: 3/3 banked, fastest relay compiles
+    ("einsum", 1, True),   # pure-XLA reference config (23.6 in r3)
     ("plane", 1, True),
     ("plane", 4, True),
     ("fused", 8, True),
