@@ -45,4 +45,8 @@ run nounsup_rebase 4500 python -u tools/bench_train.py --backend fused --ablate 
 run merged_ablate 1200 python -u tools/exp_merged_ablate.py
 run model_ablate  2400 python -u tools/exp_model_plane_ablate.py full nothing noplanes zero
 
+# 5. Encoder-internal decomposition (never banked: the end-of-round-4 attempt
+#    wedged the relay on its first compile and was killed at 12 min).
+run encoder_ablate 1500 python -u tools/exp_encoder_ablate.py full nonorm cnet build full2 --watchdog 1400
+
 echo ALL_DONE > /tmp/r5_queue.done
