@@ -14,16 +14,27 @@ per-chip THROUGHPUT (the reference trains at bs 6-10, train.sh:3-6), so the
 largest batch that fits is a legitimate configuration, B=1 launch latency is
 not the metric.
 
-Ladder discipline (rounds 2+3 both recorded 0.0; this is the fix):
+Ladder discipline (rounds 2+3 recorded 0.0; round 4 banked only the einsum
+fallback because the fused opener wedged its single 240 s shot — the round-5
+additions are cheap-first banking and the two-shot opener):
+- CHEAP-FIRST BANKING inside every config child: the chain program takes its
+  trip count as a TRACED argument, so one compile serves both a short
+  (~8-fwd) and the full (~30-fwd) chain. The child prints a complete JSON
+  record immediately after the short chain — i.e. seconds after compile,
+  before the long measurement — then again after each full rep. The parent
+  streams the child's stdout and keeps the LAST record even when the child
+  wedges or is killed later, so a wedge after compile costs accuracy
+  (a short-chain number, ~10% conservative), never the bank.
+- The opener gets up to TWO fresh-subprocess attempts inside its 300 s
+  budget (160 s, then the remainder): the relay's compile-time wedge is
+  erratic and a fresh session often clears it; fused B=1 scan compiled in
+  69-100 s on 3/3 banked round-4 rehearsals, so both slots fit a good draw.
 - The opener is the config with the best BANKING record under driver
-  conditions, not the smallest HLO: fused B=1 scan compiled in 69-100 s and
-  banked 3/3 round-4 subprocess-ladder runs (32.7 / 32.7 / 33.3 pairs/sec,
-  two VMs), while the einsum scan opener watchdog'd its 240 s cap 2/2 on the
-  fresh-VM rerun — the remote compile service's time is config-erratic, so
-  the empirically-fast-compiling config banks first. einsum runs SECOND,
-  where the fair-share cap (up to 420 s) gives it more headroom than the
-  opener slot would.
-- The opener has a hard 240 s cap so a bad relay day costs at most one slot.
+  conditions, not the smallest HLO: fused B=1 scan banked 3/3 round-4
+  subprocess-ladder runs (32.7 / 32.7 / 33.3 pairs/sec, two VMs), while the
+  einsum scan opener watchdog'd its 240 s cap 2/2 on the fresh-VM rerun.
+  einsum runs SECOND as the pure-XLA safety net, where the fair-share cap
+  (up to 420 s) gives it more headroom than the opener slot would.
 - Every config gets exactly ONE attempt in the first pass, with a fair-share
   time cap (remaining budget / remaining configs, clamped to [150, 420] s),
   so a string of wedged configs can never starve the later ones: all five
@@ -74,8 +85,10 @@ LADDER = [
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))
 PER_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
-OPENER_TIMEOUT_S = int(os.environ.get("BENCH_OPENER_TIMEOUT", "240"))
+OPENER_TIMEOUT_S = int(os.environ.get("BENCH_OPENER_TIMEOUT", "300"))  # total, up to 2 attempts
+OPENER_ATTEMPT1_S = int(os.environ.get("BENCH_OPENER_ATTEMPT1", "160"))
 MIN_ATTEMPT_S = 150
+MIN_OPENER_RETRY_S = 90  # a 2nd opener shot needs at least a fast-draw compile
 
 
 class BenchTimeout(Exception):
@@ -132,15 +145,21 @@ def measure_single() -> None:
     # Sustained throughput: n chained forwards inside one jitted fori_loop
     # (trip i+1's input depends on trip i's scalar output, so nothing can be
     # deduped, skipped, or reordered), one launch, ONE scalar host fetch.
+    # The trip count is a TRACED argument so ONE compile serves both the
+    # short cheap-first chain and the full chain (cheap-first banking: the
+    # relay's wedge risk is almost entirely the compile; a number printed
+    # seconds after compile survives any later wedge via the parent's
+    # stdout harvesting).
     # Protocols measured and rejected on this relay: per-launch
     # block_until_ready (returns before execution — reported 6x device
     # speed), python-level chains (each link resolves with a full
     # round-trip), 4x/8x unrolled bodies (no faster, and the 8x compile
     # exceeds the relay's patience).
-    n = max(4, int(round(30 / batch)))
+    n_full = max(4, int(round(30 / batch)))
+    n_short = max(2, int(round(8 / batch)))
 
     @jax.jit
-    def chained(v, image1, image2, s0):
+    def chained(v, image1, image2, s0, n):
         def body(i, s):
             out = model.apply(
                 v, image1 + s * 1e-9, image2, train=False,
@@ -150,29 +169,45 @@ def measure_single() -> None:
 
         return jax.lax.fori_loop(0, n, body, s0)
 
+    def rec_line(best, n, compile_s, provisional):
+        return {
+            "pairs_per_sec": round(best, 3),
+            "backend": backend,
+            "batch": batch,
+            "scan": scan,
+            **({"gma": True} if "--gma" in sys.argv else {}),
+            **({"provisional": True} if provisional else {}),
+            "n_fwds": n,
+            "compile_s": round(compile_s, 1),
+        }
+
     t_c = time.perf_counter()
-    warm = chained(variables, img1, img2, jnp.float32(0))  # compile + warm
-    assert np.isfinite(float(warm))
+    warm = chained(variables, img1, img2, jnp.float32(0), jnp.int32(n_short))
+    assert np.isfinite(float(warm))  # compile + warm
     compile_s = time.perf_counter() - t_c
 
+    # Cheap-first bank: two short-chain reps (~0.3 s each), print immediately.
+    # Short chains under-report ~10% (the single fetch round-trip amortizes
+    # over fewer forwards) — conservative, and overwritten by the full chain.
     best = None
     for rep in range(2):
         t0 = time.perf_counter()
-        val = float(chained(variables, img1, img2, jnp.float32(rep + 1)))
+        val = float(chained(variables, img1, img2, jnp.float32(rep + 1), jnp.int32(n_short)))
         dt = time.perf_counter() - t0
         assert np.isfinite(val)
-        pps = n * batch / dt
-        best = pps if best is None else max(best, pps)
+        best = max(best or 0.0, n_short * batch / dt)
+    print(json.dumps(rec_line(best, n_short, compile_s, provisional=True)), flush=True)
 
-    rec = {
-        "pairs_per_sec": round(best, 3),
-        "backend": backend,
-        "batch": batch,
-        "scan": scan,
-        **({"gma": True} if "--gma" in sys.argv else {}),
-        "n_fwds": n,
-        "compile_s": round(compile_s, 1),
-    }
+    # Full chain: each rep overwrites the banked line (parent keeps the last).
+    for rep in range(2):
+        t0 = time.perf_counter()
+        val = float(chained(variables, img1, img2, jnp.float32(10 + rep), jnp.int32(n_full)))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(val)
+        best = max(best, n_full * batch / dt)
+        print(json.dumps(rec_line(best, n_full, compile_s, provisional=False)), flush=True)
+
+    rec = rec_line(best, n_full, compile_s, provisional=False)
 
     # xplane device-time ground truth (pure-XLA backends only: profiling a
     # pallas custom-call wedges the relay, measured 4/4 in round 2)
@@ -269,30 +304,56 @@ def _headline(results: dict) -> dict:
     }
 
 
-def _run_config(backend: str, batch: int, scan: bool, timeout_s: float, extra: list) -> dict:
-    """One subprocess attempt. Returns the child's JSON record or an error dict."""
-    cmd = [
+def _child_cmd(backend: str, batch: int, scan: bool, extra: list) -> list:
+    return [
         sys.executable, os.path.abspath(__file__), "--single",
         "--backend", backend, "--batch", str(batch),
     ] + (["--scan"] if scan else []) + extra
+
+
+def _run_config(backend: str, batch: int, scan: bool, timeout_s: float, extra: list) -> dict:
+    """One subprocess attempt. Streams the child's stdout so every banked JSON
+    line is harvested AS IT PRINTS — a child that cheap-first-banks after
+    compile and then wedges still returns its provisional number (marked
+    `truncated`). Returns the child's LAST JSON record or an error dict."""
+    import threading
+
     env = dict(os.environ)
     # child's in-process watchdog fires before the parent kill so it can exit
     # cleanly ("watchdog") instead of being SIGKILLed mid-relay-call ("timeout")
     env["BENCH_WATCHDOG"] = str(max(int(timeout_s) - 20, 60))
     p = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        _child_cmd(backend, batch, scan, extra),
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         text=True, start_new_session=True, env=env,
     )
+    lines: list = []
+
+    def _reader():
+        for raw in p.stdout:
+            raw = raw.strip()
+            if raw.startswith("{"):
+                lines.append(raw)
+
+    th = threading.Thread(target=_reader, daemon=True)
+    th.start()
+    killed = False
     try:
-        out, _ = p.communicate(timeout=timeout_s)
-        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
-        if lines:
-            return json.loads(lines[-1])
-        return {"error": "watchdog"}  # child hit its alarm, exited silently
+        p.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        killed = True
         p.kill()  # never leave an orphan holding the TPU relay
         p.wait()
-        return {"error": "timeout"}
+    th.join(timeout=5)
+    if lines:
+        try:
+            rec = json.loads(lines[-1])
+        except ValueError:  # torn final line from a mid-write kill
+            rec = json.loads(lines[-2]) if len(lines) > 1 else {"error": "torn output"}
+        if killed and "pairs_per_sec" in rec:
+            rec["truncated"] = "parent kill after bank"
+        return rec
+    return {"error": "timeout" if killed else "watchdog"}
 
 
 def orchestrate() -> None:
@@ -329,11 +390,19 @@ def orchestrate() -> None:
                     results.setdefault(_config_key(*cfg), {"error": "skipped: deadline"})
                 break
             if pass_no == 0 and i == 0:
-                cap = min(OPENER_TIMEOUT_S, left)
+                cap = min(OPENER_ATTEMPT1_S, left)
             else:
                 cap = min(PER_ATTEMPT_TIMEOUT_S,
                           max(MIN_ATTEMPT_S, left / (len(pending) - i)))
             rec = _run_config(backend, batch, scan, cap, extra)
+            if pass_no == 0 and i == 0 and "pairs_per_sec" not in rec:
+                # Two-shot opener: the compile-time wedge is erratic and a
+                # fresh relay session often clears it. Second attempt gets
+                # the rest of the opener budget.
+                cap2 = min(OPENER_TIMEOUT_S - cap, budget())
+                if cap2 >= MIN_OPENER_RETRY_S:
+                    time.sleep(5)  # let the wedged session expire
+                    rec = _run_config(backend, batch, scan, cap2, extra)
             if "pairs_per_sec" in rec:
                 results[key] = rec
                 bank_partial()

@@ -23,8 +23,6 @@ parity against real TF — the closest in-env proxy for the <=0.05-EPE budget
 (no checkpoint files / egress in this environment).
 """
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -38,68 +36,7 @@ H, W = 64, 96
 ITERS = 12
 
 
-def _install_stubs():
-    """Stub box + tensorflow_addons, then import the reference package."""
-    if "box" not in sys.modules:
-        box_mod = types.ModuleType("box")
-
-        class Box(dict):
-            def __getattr__(self, k):
-                try:
-                    return self[k]
-                except KeyError as e:
-                    raise AttributeError(k) from e
-
-            def __setattr__(self, k, v):
-                self[k] = v
-
-        box_mod.Box = Box
-        sys.modules["box"] = box_mod
-
-    keras = tf.keras
-    if "tensorflow_addons" not in sys.modules:
-        tfa = types.ModuleType("tensorflow_addons")
-        tfa_layers = types.ModuleType("tensorflow_addons.layers")
-        tfa_image = types.ModuleType("tensorflow_addons.image")
-
-        class InstanceNormalization(keras.layers.Layer):
-            """tfa.layers.InstanceNormalization(center=False, scale=False):
-            per-sample per-channel normalization over H, W; no parameters
-            (raft_extractor.py:95-116 passes epsilon=1e-5)."""
-
-            def __init__(self, axis=3, epsilon=1e-5, center=False, scale=False,
-                         **kwargs):
-                kwargs.pop("beta_initializer", None)
-                kwargs.pop("gamma_initializer", None)
-                super().__init__()
-                assert not center and not scale, "affine-free stand-in only"
-                self.epsilon = epsilon
-
-            def call(self, x):
-                mean, var = tf.nn.moments(x, axes=[1, 2], keepdims=True)
-                return (x - mean) * tf.math.rsqrt(var + self.epsilon)
-
-        class GroupNormalization(keras.layers.Layer):  # pragma: no cover
-            def __init__(self, *a, **k):
-                raise NotImplementedError(
-                    "GroupNormalization is only reached by norm_fn='group', "
-                    "which the standard RAFT never selects"
-                )
-
-        tfa_layers.InstanceNormalization = InstanceNormalization
-        tfa_layers.GroupNormalization = GroupNormalization
-
-        sys.path.insert(0, "/root/reference")
-        from uflow import uflow_resampler  # the reference's pure-TF resampler
-
-        tfa_image.resampler = uflow_resampler.resampler
-        tfa.layers = tfa_layers
-        tfa.image = tfa_image
-        sys.modules["tensorflow_addons"] = tfa
-        sys.modules["tensorflow_addons.layers"] = tfa_layers
-        sys.modules["tensorflow_addons.image"] = tfa_image
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+from tf_ref_harness import install_stubs as _install_stubs  # noqa: E402
 
 
 @pytest.fixture(scope="module")
