@@ -37,6 +37,51 @@ def _clip_per_variable(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_by_adam_tfa(
+    b1: float, b2: float, eps: float
+) -> optax.GradientTransformation:
+    """Adam with the TF-Keras/tfa epsilon placement (reference parity).
+
+    TF 2.5 Keras Adam — which tfa.AdamW extends — folds the bias corrections
+    into the step size and applies epsilon to the UNCORRECTED second moment:
+
+        update = m_t * sqrt(1 - b2^t) / (1 - b1^t) / (sqrt(v_t) + eps)
+
+    optax.scale_by_adam instead computes m̂/(sqrt(v̂) + eps) with corrected
+    moments — algebraically an effective epsilon of eps*sqrt(1-b2^t), which
+    differs by up to ~30x at early steps. The difference only moves elements
+    whose |g| is near eps scale (where Adam's scale-invariant update turns fp
+    noise into O(lr) steps), but those are exactly the bias-before-norm
+    elements the lockstep parity test (tests/test_lockstep_train.py) pins,
+    so the trained-with semantics are reproduced exactly.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        )
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _scheduled_decoupled_decay(wd_fn: Callable) -> optax.GradientTransformation:
     """Append -wd(t) * param to the (already lr-scaled) updates."""
 
@@ -64,7 +109,7 @@ def adamw(
 ) -> optax.GradientTransformation:
     return optax.chain(
         _clip_per_variable(clip_norm),
-        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        _scale_by_adam_tfa(b1=b1, b2=b2, eps=eps),
         optax.scale_by_schedule(lambda count: -lr_fn(count)),
         _scheduled_decoupled_decay(wd_fn),
     )

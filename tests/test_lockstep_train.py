@@ -79,7 +79,50 @@ def tf_lockstep_run(tmp_path_factory):
     opt = TfaAdamW(weight_decay=WD, learning_rate=LR, epsilon=1e-8, clipnorm=1.0)
     model.compile(loss=FlowLossRobust(), optimizer=opt, run_eagerly=True)
 
+    # Gradient probe AT INIT, exported through the converter by assigning
+    # grads into the variables and checkpointing; every variable (incl. BN
+    # moving stats, which the training=True probe forward mutates) is
+    # snapshotted and restored afterwards, so training below starts from
+    # exactly the `init` checkpoint state.
+    snap = [v.numpy() for v in model.variables]
+    b0 = batches[0]
+    with tf.GradientTape() as tape:
+        preds = model((tf.constant(b0["image1"]), tf.constant(b0["image2"])),
+                      training=True)
+        y = tf.concat([tf.constant(b0["flow"]), tf.constant(b0["valid"])],
+                      axis=3)
+        loss_fn0 = FlowLossRobust()
+        tot = tf.add_n([
+            loss_fn0(y, p) * GAMMA ** (len(preds) - i - 1)
+            for i, p in enumerate(preds)
+        ])
+    grads = tape.gradient(tot, model.trainable_variables)
+    for g, v in zip(grads, model.trainable_variables):
+        v.assign(tf.zeros_like(v) if g is None else tf.cast(g, v.dtype))
+    path_g0 = tf.train.Checkpoint(model=model).write(str(ckpt_dir / "grads0"))
+    for val, v in zip(snap, model.variables):
+        v.assign(val)
+
+    # Second, identical tape at the same point: TF's oneDNN convs are not
+    # bitwise run-to-run deterministic, so this prices TF's own gradient
+    # self-noise — the floor below which cross-framework comparison is
+    # meaningless.
+    with tf.GradientTape() as tape_b:
+        preds_b = model((tf.constant(b0["image1"]), tf.constant(b0["image2"])),
+                        training=True)
+        tot_b = tf.add_n([
+            loss_fn0(y, p) * GAMMA ** (len(preds_b) - i - 1)
+            for i, p in enumerate(preds_b)
+        ])
+    grads_b = tape_b.gradient(tot_b, model.trainable_variables)
+    for g, v in zip(grads_b, model.trainable_variables):
+        v.assign(tf.zeros_like(v) if g is None else tf.cast(g, v.dtype))
+    path_g0b = tf.train.Checkpoint(model=model).write(str(ckpt_dir / "grads0b"))
+    for val, v in zip(snap, model.variables):
+        v.assign(val)
+
     losses = []
+    paths_step = []
     for b in batches:
         data = (
             (tf.constant(b["image1"]), tf.constant(b["image2"])),
@@ -98,9 +141,37 @@ def tf_lockstep_run(tmp_path_factory):
             for i, p in enumerate(preds)
         )
         losses.append(tot)
+        paths_step.append(
+            tf.train.Checkpoint(model=model).write(
+                str(ckpt_dir / f"step{len(losses)}")
+            )
+        )
 
-    path1 = tf.train.Checkpoint(model=model).write(str(ckpt_dir / "final"))
-    return path0, path1, losses
+    path1 = paths_step[-1]
+
+    # Gradient probe AT THE FINAL WEIGHTS, exported through the same proven
+    # converter path by assigning each gradient into its variable and writing
+    # one more checkpoint. (Done after `final` is saved: the training=True
+    # probe forward mutates BN moving stats, harmless now.) This is the
+    # sharp cross-framework check of the backward + loss semantics — the
+    # optimizer trajectory above it is Adam-noise-limited by design.
+    b0 = batches[0]
+    with tf.GradientTape() as tape:
+        preds = model((tf.constant(b0["image1"]), tf.constant(b0["image2"])),
+                      training=True)
+        y = tf.concat([tf.constant(b0["flow"]), tf.constant(b0["valid"])],
+                      axis=3)
+        loss_fn = FlowLossRobust()
+        tot = tf.add_n([
+            loss_fn(y, p) * GAMMA ** (len(preds) - i - 1)
+            for i, p in enumerate(preds)
+        ])
+    grads = tape.gradient(tot, model.trainable_variables)
+    for g, v in zip(grads, model.trainable_variables):
+        v.assign(tf.zeros_like(v) if g is None else tf.cast(g, v.dtype))
+    path_g = tf.train.Checkpoint(model=model).write(str(ckpt_dir / "grads"))
+    return dict(init=path0, final=path1, grads_final=path_g, grads0=path_g0,
+                grads0b=path_g0b, step1=paths_step[0], losses=losses)
 
 
 def _leaf_items(tree, prefix=""):
@@ -111,8 +182,48 @@ def _leaf_items(tree, prefix=""):
         yield prefix, np.asarray(tree)
 
 
+def test_optimizer_step_isolation(tf_lockstep_run):
+    """Feed the reference's OWN init gradients through this framework's
+    optax chain (per-variable clipnorm -> Adam -> lr -> decoupled wd) and
+    compare against the reference's actual post-step-1 parameters. Isolates
+    optimizer-update semantics from cross-framework gradient noise: any
+    mismatch here is purely clip/Adam/wd math."""
+    import jax
+    import optax
+
+    from flow_supervisor_tpu.convert import load_tf_checkpoint
+    from flow_supervisor_tpu.training.optim import adamw
+
+    params0, _ = load_tf_checkpoint(tf_lockstep_run["init"], teacher=False)
+    grads0, _ = load_tf_checkpoint(tf_lockstep_run["grads0"], teacher=False)
+    tf_s1, _ = load_tf_checkpoint(tf_lockstep_run["step1"], teacher=False)
+
+    tx = adamw(lambda t: LR, lambda t: WD, clip_norm=1.0)
+    g = jax.tree_util.tree_map(jnp.asarray, grads0)
+    p = jax.tree_util.tree_map(jnp.asarray, params0)
+    updates, _ = tx.update(g, tx.init(p), p)
+    pred = optax.apply_updates(p, updates)
+
+    flat_p0 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, params0)))
+    flat_tf = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, tf_s1)))
+    flat_pr = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, pred)))
+    flat_g = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, grads0)))
+    worst = []
+    for name in flat_tf:
+        delta = np.linalg.norm(flat_tf[name] - flat_p0[name])
+        mismatch = np.linalg.norm(flat_tf[name] - flat_pr[name])
+        gn = np.linalg.norm(flat_g[name])
+        worst.append((mismatch / max(delta, 1e-12), name,
+                      f"|g|={gn:.3g}", f"|d|={delta:.3g}"))
+    worst.sort(reverse=True)
+    assert worst[0][0] < 2e-2, f"optimizer step diverged: {worst[:8]}"
+
+
 def test_lockstep_parameter_trajectory(tf_lockstep_run):
-    path0, path1, tf_losses = tf_lockstep_run
+    path0, path1, path_g, tf_losses = (
+        tf_lockstep_run["init"], tf_lockstep_run["final"],
+        tf_lockstep_run["grads_final"], tf_lockstep_run["losses"],
+    )
 
     import jax
 
@@ -154,24 +265,108 @@ def test_lockstep_parameter_trajectory(tf_lockstep_run):
     # training moved: the probe loss changed measurably from step to step
     assert abs(tf_losses[0] - tf_losses[-1]) > 1e-4
 
-    # 2) parameter trajectory: post-training weights agree leaf by leaf,
-    # measured relative to how far training MOVED each leaf (so a semantic
-    # divergence in wd/clipnorm/Adam math — which changes the whole drift —
-    # cannot hide, while near-zero-gradient sign noise cannot dominate).
+    # 2) GRADIENT parity at the INIT point (well-conditioned; the fixture's
+    # tape gradient of the reference's composed gamma-decayed loss was
+    # assigned into the variables and checkpointed, so the proven converter
+    # gives it to us in this framework's naming). The tolerance is
+    # calibrated against TF's OWN gradient self-noise (two identical tapes:
+    # oneDNN convs are not run-to-run deterministic). Leaves whose true
+    # gradient is ~zero (every conv bias that feeds a normalization: the
+    # norm subtracts the per-channel mean, so the bias cancels
+    # ALGEBRAICALLY) carry only fp noise on both sides and are excluded —
+    # that same partition drives the trajectory check below.
     params1_tf, stats1_tf = load_tf_checkpoint(path1, teacher=False)
+
+    def probe_loss(p):
+        b0 = {k: jnp.asarray(v) for k, v in _batches()[0].items()}
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats0},
+            b0["image1"], b0["image2"], train=True, mutable=["batch_stats"],
+        )
+        from flow_supervisor_tpu.losses import sequence_loss
+
+        return sequence_loss(out["flow_up"], b0["flow"], b0["valid"], GAMMA,
+                             "robust")
+
+    grads_jx = jax.grad(probe_loss)(params0)
+    grads_tf, _ = load_tf_checkpoint(tf_lockstep_run["grads0"], teacher=False)
+    grads_tfb, _ = load_tf_checkpoint(tf_lockstep_run["grads0b"], teacher=False)
+    flat_gj = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, grads_jx)))
+    flat_gt = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, grads_tf)))
+    flat_gb = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, grads_tfb)))
+    assert set(flat_gj) == set(flat_gt)
+
+    live, null, gerrs = set(), set(), []
+    gref = np.sqrt(np.mean(np.concatenate(
+        [g.ravel() for g in flat_gt.values()]).astype(np.float64) ** 2))
+    for name, gt in flat_gt.items():
+        rms = float(np.sqrt(np.mean(gt.astype(np.float64) ** 2)))
+        if rms < 1e-4 * gref or (name.endswith("/bias") and rms < 1e-6):
+            null.add(name)
+            assert name.endswith("/bias"), (
+                f"{name}: near-zero gradient on a non-bias leaf — the "
+                f"partition no longer matches the bias-before-norm argument"
+            )
+        else:
+            live.add(name)
+            gn = np.linalg.norm(gt) + 1e-30
+            cross = np.linalg.norm(flat_gj[name] - gt) / gn
+            self_noise = np.linalg.norm(flat_gb[name] - gt) / gn
+            gerrs.append((cross / max(self_noise, 2.5e-4), cross,
+                          self_noise, name))
+    assert len(live) > 50 and len(null) > 0, (len(live), len(null))
+    gerrs.sort(reverse=True)
+    # cross-framework error must sit within ~an order of magnitude of TF's
+    # own run-to-run noise (semantic divergence would be orders of magnitude
+    # above it), and never above 2% outright
+    assert gerrs[0][0] < 20.0 and gerrs[0][1] < 2e-2, \
+        f"gradient diverged: {gerrs[:10]}"
+
+    # 3) parameter trajectory: post-training weights agree leaf by leaf,
+    # measured relative to how far training MOVED each leaf (catches wd
+    # scaled by lr — a 1000x factor here — global instead of per-variable
+    # clipnorm, wrong bias correction). Adam bounds how tight this can be:
+    # its per-ELEMENT update m̂/√v̂ is O(1) at any gradient scale, so every
+    # element whose gradient is fp-noise-dominated walks ±lr·step
+    # differently in each framework; mismatch/drift ≈ √(noisy-element
+    # fraction), not 0. The honest threshold is therefore CALIBRATED: a
+    # second JAX trajectory from 1e-6-perturbed initial params measures the
+    # chaos floor, and the TF-vs-JAX ratio must be within 3x of it (a
+    # semantic optimizer bug moves the whole drift, giving ratios >> 1).
+    state_p = TrainState.create(
+        jax.tree_util.tree_map(
+            lambda x: x * (1.0 + 1e-6) + 1e-8, params0
+        ),
+        stats0, tx,
+    )
+    step_p = make_train_step(model, loss_type="robust", gamma=GAMMA,
+                             donate=False)
+    for b in _batches():
+        state_p, _ = step_p(state_p, {k: jnp.asarray(v) for k, v in b.items()})
+
     flat_tf0 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, params0)))
     flat_tf1 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, params1_tf)))
     flat_jx1 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, state.params)))
+    flat_jp1 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, state_p.params)))
     assert set(flat_tf1) == set(flat_jx1)
 
     worst = []
-    for name in flat_tf1:
+    for name in live:
         drift = np.linalg.norm(flat_tf1[name] - flat_tf0[name])
+        assert drift > 0, f"{name}: training never touched this live leaf"
+        ratio_tf = np.linalg.norm(flat_tf1[name] - flat_jx1[name]) / drift
+        ratio_chaos = np.linalg.norm(flat_jp1[name] - flat_jx1[name]) / drift
+        worst.append((ratio_tf / max(ratio_chaos, 0.02), ratio_tf,
+                      ratio_chaos, name))
+    for name in null:
+        g = flat_gt[name]
         mismatch = np.linalg.norm(flat_tf1[name] - flat_jx1[name])
-        assert drift > 0, f"{name}: reference training never touched this leaf"
-        worst.append((mismatch / drift, name))
+        walk_bound = 2.0 * STEPS * LR * np.sqrt(g.size)
+        assert mismatch < walk_bound, (name, mismatch, walk_bound)
     worst.sort(reverse=True)
-    assert worst[0][0] < 0.10, f"param trajectory diverged: {worst[:5]}"
+    assert worst[0][0] < 3.0, f"param trajectory diverged: {worst[:5]}"
+    # and the chaos floor itself must show training is not degenerate
+    assert np.median([w[2] for w in worst]) < 0.6, worst[:5]
 
     # 3) BN moving statistics followed the same update policy
     flat_s0 = dict(_leaf_items(jax.tree_util.tree_map(np.asarray, stats0)))
