@@ -40,6 +40,14 @@ class ModelCfg:
     teacher_smurf_weight: float = 0.0
     lfl_loss_decay_rate: float = 0.8
     lfr_loss_type: str = "l2"  # reference default (semi.py:549); recipes use robust
+    # Reference-exact L_fr reduction: the reference builds lfr_loss_fn with
+    # Reduction.NONE (semi.py:29-34), so unsup_loss is a [B,H,W] TENSOR and
+    # tape.gradient of a non-scalar target implicitly sums over pixels —
+    # the unsup branch's gradient is a pixel-SUM (x B*H*W vs the sup
+    # branch's pixel-mean), which per-variable clipnorm then renormalizes.
+    # True reproduces that (the released checkpoints were trained with it);
+    # False uses the pixel-mean the paper's equations suggest.
+    lfr_sum_reduction: bool = True
     stop_teacher_gradient: bool = True
     # unsupervised loss weights; defaults match the reference argparse
     # (unsup.py:268-274: smooth1 2.5, smooth2 0.0, selfsup 0.3, wang)

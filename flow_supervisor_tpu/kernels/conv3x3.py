@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: direct 3x3 stride-1 SAME conv for the encoder stacks.
+
+Why: tools/exp_conv_probe.py (round 5) measured XLA's conv emitter paying
+im2col-scale memory traffic at the encoder's high-HW / low-C shapes —
+conv64 ([2,224,512,64]->64, 3x3) takes 0.670 ms, the SAME time as the
+explicit [M,576]@[576,64] im2col matmul whose x alone is 264 MB, while the
+conv's true footprint is 29 MB in + 29 MB out (~0.07 ms at HBM BW). The
+emitter also showed mm64 == mm128 wall time (input-traffic-bound): channel
+width is free, traffic is the lever.
+
+This kernel streams the (XLA-pre-padded) input ONCE: per grid step it DMAs
+one [tr+2, W+2, C] row slab HBM->VMEM, accumulates the nine dy/dx-shifted
+[tr*W, C] x [C, Cout] MXU contractions in an f32 register/VMEM accumulator,
+adds the bias, and writes the [tr, W, Cout] output tile. Nothing
+im2col-sized ever exists — the shifted views live only as VMEM values.
+
+Traffic: read H*W*C once (+ halo rows twice), write H*W*Cout once. At
+conv64 shapes that is ~58 MB vs the emitter's effective ~600.
+
+Scope: stride 1, 3x3, SAME, NHWC, C and Cout multiples of 8, H divisible by
+a small row tile. The encoder's other convs (7x7/2 stem, 1x1 projections,
+3x3/2 downsamples) stay on XLA — they are each a single layer, not a stack.
+
+Backward: custom VJP that simply differentiates the equivalent
+``lax.conv_general_dilated`` (XLA's conv backward), so training numerics
+are exactly the XLA path's; the kernel is a forward-path substitution.
+Reference geometry: raft/smurf_models/raft_extractor.py:266-343.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3_fused"]
+
+
+def _auto_interpret(interpret):
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pick_tr(h: int, w: int) -> int:
+    """Rows per grid step: M = tr*w in [1024, 4096], tr divides h."""
+    best = 1
+    for tr in (16, 8, 4, 2, 1):
+        if h % tr == 0:
+            m = tr * w
+            if m <= 4096:
+                return tr if m >= 512 else max(best, tr)
+            best = tr
+    return best
+
+
+def _conv_kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, *, tr, w,
+                 c, cout, relu):
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    # vertical halo from the clamped prev/next row blocks (zero at edges)
+    zero_row = jnp.zeros_like(cur_ref[0, 0:1])
+    prev_row = jnp.where(i > 0, prev_ref[0, tr - 1:tr], zero_row)
+    next_row = jnp.where(i < n - 1, next_ref[0, 0:1], zero_row)
+    x = jnp.concatenate([prev_row, cur_ref[0], next_row], axis=0)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))  # [tr+2, w+2, c]
+    acc = jnp.zeros((tr * w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(
+                xp, (dy, dx, 0), (dy + tr, dx + w, c)
+            ).reshape(tr * w, c)
+            acc = acc + jax.lax.dot_general(
+                xs, k_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[0] = acc.reshape(tr, w, cout).astype(o_ref.dtype)
+
+
+def _conv_reference(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _conv_impl(x, k, b, relu, interpret=None):
+    interpret = _auto_interpret(interpret)
+    bsz, h, w, c = x.shape
+    cout = k.shape[-1]
+    assert w % 8 == 0, "width must be sublane-aligned"
+    tr = _pick_tr(h, w)
+    nb = h // tr
+    grid = (bsz, nb)
+    # Vertical halo via three pipelined row-block views of the SAME array
+    # (prev/cur/next, edge-clamped): no manual DMA (whose minor dim must be
+    # 128-aligned — C here is 64/96), standard double-buffered pipeline,
+    # ~3x nominal input reads that overlap compute and still sit ~6x under
+    # the emitter's effective traffic.
+    row_spec = lambda off: pl.BlockSpec(
+        (1, tr, w, c),
+        lambda b_, i: (b_, jnp.clip(i + off, 0, nb - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y = pl.pallas_call(
+        functools.partial(_conv_kernel, tr=tr, w=w, c=c, cout=cout, relu=relu),
+        grid=grid,
+        in_specs=[
+            row_spec(-1),
+            row_spec(0),
+            row_spec(+1),
+            pl.BlockSpec((3, 3, c, cout), lambda b_, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tr, w, cout), lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+        interpret=interpret,
+    )(x, x, x, k, b.reshape(1, cout))
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_fused(x, k, b, relu: bool = False):
+    """3x3 stride-1 SAME conv (+bias, optional relu), NHWC bf16/f32.
+
+    Forward runs the pallas streaming kernel; backward differentiates the
+    equivalent XLA conv (identical numerics to the non-kernel path).
+    """
+    return _conv_impl(x, k, b, relu)
+
+
+def _conv_fwd(x, k, b, relu):
+    return _conv_impl(x, k, b, relu), (x, k, b)
+
+
+def _conv_bwd(relu, res, g):
+    x, k, b = res
+
+    def ref(x_, k_, b_):
+        y = _conv_reference(x_, k_, b_)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return y.astype(g.dtype)
+
+    _, vjp = jax.vjp(ref, x, k, b)
+    return vjp(g)
+
+
+conv3x3_fused.defvjp(_conv_fwd, _conv_bwd)

@@ -52,14 +52,18 @@ def _pick_tm(m: int) -> int:
     return min(2048, _round_up(m, 512))
 
 
-def _stats_kernel(x_ref, o_ref, acc_ref, *, m, tm, eps):
+def _stats_kernel(x_ref, o_ref, acc_ref, *, m, tm, eps, c, pack):
+    """Accumulate sums over row tiles; at the last tile, fold the ``pack``
+    lane slots (each channel appears in lanes c_i, c_i+c, ... when spatial
+    rows are lane-packed) and emit (mean, rsqrt) REPLICATED into every slot,
+    so the apply kernel is a plain elementwise op on the packed layout."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # [tm, c]
+    x = x_ref[0].astype(jnp.float32)  # [tm, c*pack]
     if m % tm != 0:
         # final tile straddles m: out-of-bounds rows are undefined
         rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * tm
@@ -69,11 +73,18 @@ def _stats_kernel(x_ref, o_ref, acc_ref, *, m, tm, eps):
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _emit():
-        denom = jnp.float32(m)
-        mean = acc_ref[0:1, :] / denom
-        var = jnp.maximum(acc_ref[1:2, :] / denom - mean * mean, 0.0)
-        o_ref[0, 0:1, :] = mean
-        o_ref[0, 1:2, :] = jax.lax.rsqrt(var + eps)
+        denom = jnp.float32(m * pack)
+        s1 = acc_ref[0:1, 0:c]
+        s2 = acc_ref[1:2, 0:c]
+        for p in range(1, pack):
+            s1 = s1 + acc_ref[0:1, p * c:(p + 1) * c]
+            s2 = s2 + acc_ref[1:2, p * c:(p + 1) * c]
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - mean * mean, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        for p in range(pack):
+            o_ref[0, 0:1, p * c:(p + 1) * c] = mean
+            o_ref[0, 1:2, p * c:(p + 1) * c] = r
 
 
 def _apply_kernel(x_ref, s_ref, o_ref, *, relu):
@@ -88,36 +99,48 @@ def _norm_impl(x, eps, relu, interpret=None):
     interpret = _auto_interpret(interpret)
     b, h, w, c = x.shape
     m = h * w
-    xm = x.reshape(b, m, c)
-    tm = _pick_tm(m)
-    nm = (m + tm - 1) // tm
-    stats = pl.pallas_call(
-        functools.partial(_stats_kernel, m=m, tm=tm, eps=eps),
+    # Lane packing: at c < 128 the lane dimension runs half (c=64) or
+    # quarter (c=32) empty; viewing [m, c] as [m/pack, pack*c] fills the
+    # lanes (channel c_i lives in lanes c_i, c_i+c, ...). The stats kernel
+    # folds the slots at emit and replicates (mean, rsqrt) into each slot,
+    # so the apply kernel stays elementwise. Measured on the fnet stack:
+    # the packed layout's DMA tiles are full-width instead of half-padded.
+    pack = 128 // c if (c < 128 and 128 % c == 0) else 1
+    while pack > 1 and m % pack != 0:
+        pack //= 2
+    mp, cp = m // pack, c * pack
+    xm = x.reshape(b, mp, cp)
+    tm = _pick_tm(mp)
+    nm = (mp + tm - 1) // tm
+    stats_packed = pl.pallas_call(
+        functools.partial(_stats_kernel, m=mp, tm=tm, eps=eps, c=c, pack=pack),
         grid=(b, nm),
         in_specs=[
-            pl.BlockSpec((1, tm, c), lambda b_, i: (b_, i, 0),
+            pl.BlockSpec((1, tm, cp), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, c), lambda b_, i: (b_, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, cp), lambda b_, i: (b_, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 2, cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, cp), jnp.float32)],
         interpret=interpret,
     )(xm)
     y = pl.pallas_call(
         functools.partial(_apply_kernel, relu=relu),
         grid=(b, nm),
         in_specs=[
-            pl.BlockSpec((1, tm, c), lambda b_, i: (b_, i, 0),
+            pl.BlockSpec((1, tm, cp), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c), lambda b_, i: (b_, 0, 0),
+            pl.BlockSpec((1, 2, cp), lambda b_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm, c), lambda b_, i: (b_, i, 0),
+        out_specs=pl.BlockSpec((1, tm, cp), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, mp, cp), x.dtype),
         interpret=interpret,
-    )(xm, stats)
+    )(xm, stats_packed)
+    # slot 0 holds the folded (mean, rsqrt) — the VJP residual layout
+    stats = stats_packed[:, :, :c]
     return y.reshape(b, h, w, c), stats
 
 

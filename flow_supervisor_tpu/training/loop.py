@@ -132,7 +132,9 @@ def train(
     variables = init_variables(model, cfg)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    tx = make_optimizer(cfg.train)
+    # BN freeze also removes gamma/beta from training entirely (reference
+    # util/train.py:4-12 sets trainable=False; see optim._zero_frozen_bn)
+    tx = make_optimizer(cfg.train, freeze_bn=model.cfg.freeze_bn)
     is_semi = cfg.model.model_type.endswith("semi")
     is_unsup = cfg.model.model_type.endswith("unsup")
 

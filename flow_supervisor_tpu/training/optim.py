@@ -99,6 +99,37 @@ def _scheduled_decoupled_decay(wd_fn: Callable) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _zero_frozen_bn() -> optax.GradientTransformation:
+    """Zero the final update for every BatchNorm scale/bias leaf.
+
+    The reference's ``freeze_bn`` (util/train.py:4-12, applied for every
+    stage but chairs, train.py:180-181) sets BN layers ``trainable=False``,
+    which removes gamma/beta from ``trainable_weights`` ENTIRELY: no
+    gradient step and no tfa weight decay — they stay at their
+    pretrained values through things/semi/kitti training. Frozen BN still
+    has live gradients in this framework (the output is
+    gamma*(x-mu_run)/sigma_run + beta), so without this mask those leaves
+    would keep training; zeroing the post-decay update reproduces the
+    reference exactly while keeping the leaves in the tree/checkpoints.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def zero(path, u):
+            if any("BatchNorm" in str(k) for k in path):
+                return jnp.zeros_like(u)
+            return u
+
+        return jax.tree_util.tree_map_with_path(zero, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adamw(
     lr_fn: Callable,
     wd_fn: Callable,
@@ -106,17 +137,22 @@ def adamw(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    freeze_bn: bool = False,
 ) -> optax.GradientTransformation:
-    return optax.chain(
+    chain = [
         _clip_per_variable(clip_norm),
         _scale_by_adam_tfa(b1=b1, b2=b2, eps=eps),
         optax.scale_by_schedule(lambda count: -lr_fn(count)),
         _scheduled_decoupled_decay(wd_fn),
-    )
+    ]
+    if freeze_bn:
+        chain.append(_zero_frozen_bn())
+    return optax.chain(*chain)
 
 
-def make_optimizer(train_cfg) -> optax.GradientTransformation:
+def make_optimizer(train_cfg, freeze_bn: bool = False) -> optax.GradientTransformation:
     from flow_supervisor_tpu.training.schedules import build_schedules
 
     lr_fn, wd_fn = build_schedules(train_cfg)
-    return adamw(lr_fn, wd_fn, clip_norm=train_cfg.clip_norm)
+    return adamw(lr_fn, wd_fn, clip_norm=train_cfg.clip_norm,
+                 freeze_bn=freeze_bn)

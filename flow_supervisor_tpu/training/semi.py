@@ -43,6 +43,7 @@ def make_semi_train_step(
     gamma: float = 0.8,  # loss_decay_rate (TrainCfg)
     sup_loss_type: str = "robust",
     donate: bool = True,
+    debug_grads: bool = False,  # include the merged gradient tree in the log
 ):
     mc = model_cfg
     # Semi stages always run with frozen batch norm (reference train.py:180-181
@@ -153,6 +154,16 @@ def make_semi_train_step(
             lfr = lfr * mc.lfr_weight
             log["lfr_loss"] = lfr
             total = total + lfr
+            if getattr(mc, "lfr_sum_reduction", True):
+                # Reference-exact gradient scale: the reference's lfr_loss_fn
+                # has Reduction.NONE (semi.py:29-34), making unsup_loss a
+                # [B,H,W] tensor; tape.gradient then sums it, so EVERY term
+                # accumulated into unsup_loss (the scalar smurf term
+                # broadcasts too) is effectively multiplied by B*H*W of the
+                # student crop. Only applies when the lfr branch is active —
+                # with lfr_weight=0 the reference's unsup_loss stays scalar.
+                b, h, w = batch["image1"].shape[0:3]
+                total = total * float(b * h * w)
         log["unsup_loss"] = total
         return total, log
 
@@ -180,6 +191,8 @@ def make_semi_train_step(
                 grads = jax.tree_util.tree_map(
                     lambda a, b: a + mc.unsup_weight * b, grads, g_unsup
                 )
+        if debug_grads:
+            log["_merged_grads"] = grads
         new_state = state.apply_gradients(grads)
         return new_state, log
 
