@@ -66,14 +66,18 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, *, tr, w,
     next_row = jnp.where(i < n - 1, next_ref[0, 0:1], zero_row)
     x = jnp.concatenate([prev_row, cur_ref[0], next_row], axis=0)
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))  # [tr+2, w+2, c]
+    # one sublane shift per dx (the costly relayout), then dim-0 (free)
+    # slices provide the dy taps
+    xs = [jax.lax.slice(xp, (0, dx, 0), (tr + 2, dx + w, c))
+          for dx in range(3)]
     acc = jnp.zeros((tr * w, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = jax.lax.slice(
-                xp, (dy, dx, 0), (dy + tr, dx + w, c)
+            op = jax.lax.slice(
+                xs[dx], (dy, 0, 0), (dy + tr, w, c)
             ).reshape(tr * w, c)
             acc = acc + jax.lax.dot_general(
-                xs, k_ref[dy, dx],
+                op, k_ref[dy, dx],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

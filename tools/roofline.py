@@ -96,7 +96,10 @@ def main():
     for backend in ("einsum", "zero"):
         cfg = RAFTConfig(
             iters=ITERS, dtype=jnp.bfloat16, corr_dtype=jnp.bfloat16,
-            lookup_backend=backend, scan_iters=True,
+            # UNROLLED: HLO cost analysis counts a lax.scan body once
+            # regardless of trip count, which would zero the per-iteration
+            # differencing
+            lookup_backend=backend, scan_iters=False,
         ).resolved()
         model = RAFT(cfg)
         if backend == "einsum":
