@@ -106,14 +106,41 @@ def main():
     print("first step ok:", {k: round(float(v), 4) for k, v in log.items()},
           file=sys.stderr)
 
-    # --trace <dir>: jax.profiler xplane capture of steady-state steps
+    # --trace <dir>: xplane capture of steady-state steps. MANUAL
+    # start_trace/stop_trace opened AFTER compile+warm — the only protocol
+    # that does not wedge the relay (round-5 exp_profiler_postmortem: the
+    # `with jax.profiler.trace()` context wedges even on a trivial dot).
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
-        with jax.profiler.trace(trace_dir):
-            for i in range(2):
-                state, _ = step(state, dict(sup, image1=sup["image1"] + i * 1e-6), unsup)
-            jax.block_until_ready(state.params)
+        n_tr = 2
+        jax.profiler.start_trace(trace_dir)
+        for i in range(n_tr):
+            state, log = step(state, dict(sup, image1=sup["image1"] + i * 1e-6), unsup)
+        sync_key = "sup_loss" if "sup_loss" in log else "unsup_loss"
+        assert np.isfinite(float(log[sync_key]))
+        jax.profiler.stop_trace()
         print(f"trace written to {trace_dir}", file=sys.stderr)
+        import glob
+        import gzip
+        import json as _json
+
+        paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+        if paths:
+            d = _json.load(gzip.open(paths[0]))
+            ev = d.get("traceEvents", [])
+            pids = {e["pid"]: e["args"].get("name", "") for e in ev
+                    if e.get("ph") == "M" and e.get("name") == "process_name"}
+            agg = {}
+            for e in ev:
+                if e.get("ph") != "X":
+                    continue
+                if "TPU" not in str(pids.get(e.get("pid"), "")):
+                    continue
+                nm = e.get("name", "?")
+                agg[nm] = agg.get(nm, 0.0) + e.get("dur", 0)
+            print("top device ops (ms/step):", file=sys.stderr)
+            for nm, us in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
+                print(f"  {us/n_tr/1000:8.3f} ms  {nm[:110]}", file=sys.stderr)
 
     n = 10
     t0 = time.perf_counter()
