@@ -71,16 +71,18 @@ METRIC = "flow_pairs_per_sec_per_chip_448x1024_12iters"
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
 
 # (backend, batch, scan_iters). Opener = the config that BANKS most reliably
-# under driver conditions (see docstring): fused B=1 scan banked 3/3 round-4
-# subprocess-ladder runs (32.7 / 32.7 / 33.3 pairs/sec, compile 69-100 s,
-# two VMs) while einsum scan watchdog'd its opener cap 2/2 on the fresh-VM
-# rerun. Other rehearsal numbers: plane B=1 30.6 / plane B=4 28.5; fused B=8
-# wedged at 420 s (kept last as the high-upside memory-scaling config).
+# under driver conditions. Round-5 full-ladder rehearsal: plane B=4 scan
+# compiled in 26 s and banked the day's best number (35.003 pairs/sec, full
+# chain) while fused_b1 / einsum_b1 / plane_b1 ALL wedged their slots —
+# including fused's two opener shots — so the fastest-compiling config with
+# the highest banked value opens. fused B=1 (34.4 the same day in a
+# single-config run; 3/3 banked in round 4) runs second; einsum stays as
+# the pure-XLA safety net.
 LADDER = [
-    ("fused", 1, True),    # BANKER: 3/3 banked, fastest relay compiles
-    ("einsum", 1, True),   # pure-XLA reference config (23.6 in r3)
+    ("plane", 4, True),    # BANKER: fastest compile (26 s), best value (35.0)
+    ("fused", 1, True),    # 34.4 same-day; 3/3 banked r4
+    ("einsum", 1, True),   # pure-XLA reference config (25.3 banked by r4 driver)
     ("plane", 1, True),
-    ("plane", 4, True),
     ("fused", 8, True),
 ]
 GLOBAL_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE", "1500"))

@@ -93,29 +93,29 @@ def test_all_wedged_every_config_attempted_inside_deadline(clock, monkeypatch, c
 
 def test_opener_is_the_proven_banker_and_capped(clock, monkeypatch, capsys):
     # Opener = the config with the best banking record under driver
-    # conditions: fused B=1 scan (3/3 round-4 ladder runs; einsum scan
-    # watchdog'd its opener cap 2/2 on the fresh-VM rerun).
-    assert bench.LADDER[0] == ("fused", 1, True)
+    # conditions: plane B=4 scan (round-5 rehearsal: 26 s compile, banked
+    # the day's best 35.0 while fused/einsum/plane-b1 all wedged).
+    assert bench.LADDER[0] == ("plane", 4, True)
     assert ("einsum", 1, True) in bench.LADDER
     # non-opener configs crash fast (100 s each), leaving retry budget
     script = {bench._config_key(*cfg): (100, None) for cfg in bench.LADDER}
-    script["fused_b1_scan"] = (
-        150, {"pairs_per_sec": 33.3, "backend": "fused", "batch": 1}
+    script["plane_b4_scan"] = (
+        150, {"pairs_per_sec": 35.0, "backend": "plane", "batch": 4}
     )
     attempts = []
     monkeypatch.setattr(bench, "_run_config", _fake_runner(clock, script, attempts))
 
     bench.orchestrate()
 
-    assert attempts[0][0] == "fused_b1_scan"
+    assert attempts[0][0] == "plane_b4_scan"
     assert attempts[0][1] == bench.OPENER_ATTEMPT1_S
     # opener banked on its first shot -> no second opener attempt
-    assert attempts[1][0] == "einsum_b1_scan"
+    assert attempts[1][0] == "fused_b1_scan"
     line = _last_line(capsys)
-    assert line["value"] == 33.3
-    assert line["best_config"] == "fused_b1_scan"
+    assert line["value"] == 35.0
+    assert line["best_config"] == "plane_b4_scan"
     # wedged configs were retried with leftover budget, then gave up in time
-    retried = [k for k, _ in attempts].count("plane_b4_scan")
+    retried = [k for k, _ in attempts].count("fused_b1_scan")
     assert retried >= 2
     assert clock.t <= bench.GLOBAL_DEADLINE_S + bench.PER_ATTEMPT_TIMEOUT_S
 
@@ -127,9 +127,9 @@ def test_opener_gets_a_second_fresh_subprocess_shot(clock, monkeypatch, capsys):
     behaviors = {
         k: [(None, None)] * 10 for k in (bench._config_key(*c) for c in bench.LADDER)
     }
-    behaviors["fused_b1_scan"] = [
+    behaviors["plane_b4_scan"] = [
         (None, None),  # shot 1: wedge at full cap
-        (95, {"pairs_per_sec": 32.7, "backend": "fused", "batch": 1}),  # shot 2 banks
+        (95, {"pairs_per_sec": 34.5, "backend": "plane", "batch": 4}),  # shot 2 banks
     ]
     attempts = []
 
@@ -143,12 +143,12 @@ def test_opener_gets_a_second_fresh_subprocess_shot(clock, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_config", run)
     bench.orchestrate()
 
-    assert [k for k, _ in attempts[:2]] == ["fused_b1_scan", "fused_b1_scan"]
+    assert [k for k, _ in attempts[:2]] == ["plane_b4_scan", "plane_b4_scan"]
     assert attempts[0][1] == bench.OPENER_ATTEMPT1_S
     assert attempts[1][1] <= bench.OPENER_TIMEOUT_S - bench.OPENER_ATTEMPT1_S
     line = _last_line(capsys)
-    assert line["value"] == 32.7
-    assert line["best_config"] == "fused_b1_scan"
+    assert line["value"] == 34.5
+    assert line["best_config"] == "plane_b4_scan"
     assert clock.t <= bench.GLOBAL_DEADLINE_S + bench.PER_ATTEMPT_TIMEOUT_S
 
 
@@ -200,10 +200,10 @@ def test_banked_number_written_to_partial_and_stdout_immediately(
 ):
     """If the driver kills the orchestrator mid-run, the last stdout JSON line
     and the partial file must already hold the banked number."""
-    ok = {"pairs_per_sec": 19.7, "backend": "fused", "batch": 1}
+    ok = {"pairs_per_sec": 19.7, "backend": "plane", "batch": 4}
 
     def run(backend, batch, scan, timeout_s, extra):
-        if backend == "fused":
+        if backend == "plane" and batch == 4:
             clock.t += 60
             return ok
         raise KeyboardInterrupt  # simulate the driver killing us mid-ladder
