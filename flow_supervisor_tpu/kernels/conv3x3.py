@@ -60,6 +60,25 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, *, tr, w,
                  c, cout, relu):
     i = pl.program_id(1)
     n = pl.num_programs(1)
+    _conv_body(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, None, None,
+               i=i, n=n, tr=tr, w=w, c=c, cout=cout, relu=relu, m=0, eps=0.0)
+
+
+def _conv_stats_kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref,
+                       s_ref, acc_ref, *, tr, w, c, cout, relu, m, eps):
+    """Conv + per-channel (sum, sumsq) epilogue: the instance-norm stats of
+    the conv OUTPUT come for free while the tile is still in VMEM, so the
+    norm drops its whole stats read pass (one fewer full-activation pass
+    per conv+norm pair)."""
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+    _conv_body(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, s_ref,
+               acc_ref, i=i, n=n, tr=tr, w=w, c=c, cout=cout, relu=relu,
+               m=m, eps=eps)
+
+
+def _conv_body(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, s_ref,
+               acc_ref, *, i, n, tr, w, c, cout, relu, m, eps):
     # vertical halo from the clamped prev/next row blocks (zero at edges)
     zero_row = jnp.zeros_like(cur_ref[0, 0:1])
     prev_row = jnp.where(i > 0, prev_ref[0, tr - 1:tr], zero_row)
@@ -85,6 +104,21 @@ def _conv_kernel(prev_ref, cur_ref, next_ref, k_ref, b_ref, o_ref, *, tr, w,
     if relu:
         acc = jnp.maximum(acc, 0.0)
     o_ref[0] = acc.reshape(tr, w, cout).astype(o_ref.dtype)
+    if s_ref is not None:
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[0:1, :] += jnp.sum(acc, axis=0, keepdims=True)
+        acc_ref[1:2, :] += jnp.sum(acc * acc, axis=0, keepdims=True)
+
+        @pl.when(i == n - 1)
+        def _emit():
+            denom = jnp.float32(m)
+            mean = acc_ref[0:1, :] / denom
+            var = jnp.maximum(acc_ref[1:2, :] / denom - mean * mean, 0.0)
+            s_ref[0, 0:1, :] = mean
+            s_ref[0, 1:2, :] = jax.lax.rsqrt(var + eps)
 
 
 def _conv_reference(x, k, b):
@@ -132,6 +166,116 @@ def _conv_impl(x, k, b, relu, interpret=None):
         interpret=interpret,
     )(x, x, x, k, b.reshape(1, cout))
     return y
+
+
+def conv3x3_stats(x, k, b, eps: float = 1e-5, interpret=None):
+    """Conv (+bias, NO relu) plus the instance-norm stats of its output:
+    returns (y, stats[B, 2, Cout] = (mean, rsqrt(var+eps))). Forward-only
+    building block for the conv->instance-norm->relu chain (the norm's
+    stats pass becomes free); pair with norm.instance_norm_apply."""
+    interpret = _auto_interpret(interpret)
+    bsz, h, w, c = x.shape
+    cout = k.shape[-1]
+    assert w % 8 == 0, "width must be sublane-aligned"
+    tr = _pick_tr(h, w)
+    nb = h // tr
+    grid = (bsz, nb)
+    row_spec = lambda off: pl.BlockSpec(
+        (1, tr, w, c),
+        lambda b_, i: (b_, jnp.clip(i + off, 0, nb - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y, stats = pl.pallas_call(
+        functools.partial(_conv_stats_kernel, tr=tr, w=w, c=c, cout=cout,
+                          relu=False, m=h * w, eps=eps),
+        grid=grid,
+        in_specs=[
+            row_spec(-1),
+            row_spec(0),
+            row_spec(+1),
+            pl.BlockSpec((3, 3, c, cout), lambda b_, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr, w, cout), lambda b_, i: (b_, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cout), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
+            jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, cout), jnp.float32)],
+        interpret=interpret,
+    )(x, x, x, k, b.reshape(1, cout))
+    return y, stats
+
+
+def _norm_stats_ref(y):
+    """fp32 instance-norm stats of y: [B, 2, C] = (mean, rsqrt(var+eps))."""
+    y32 = y.astype(jnp.float32)
+    mean = jnp.mean(y32, axis=(1, 2))
+    var = jnp.maximum(jnp.mean(y32 * y32, axis=(1, 2)) - mean * mean, 0.0)
+    return jnp.stack([mean, jax.lax.rsqrt(var + 1e-5)], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_instnorm_relu(x, k, b, relu: bool = True):
+    """conv3x3(+bias) -> affine-free instance norm -> (relu): the encoder's
+    hot pair as ONE pallas pass + one apply pass (the norm's stats come from
+    the conv kernel's free epilogue — measured 0.788 vs 1.217 ms per pair at
+    stage-1 shapes, tools/exp_fuse_convnorm.py). Param-compatible with the
+    nn.Conv + Norm composition; backward uses the closed-form instance-norm
+    VJP from the saved stats plus XLA's conv transpose (the re-traced conv
+    primal is dead-code-eliminated: a linear op's vjp never reads it)."""
+    out, _res = _cin_fwd_impl(x, k, b, relu)
+    return out
+
+
+def _cin_fwd_impl(x, k, b, relu):
+    if _auto_interpret(None):  # non-TPU: pure-XLA composition, same numerics
+        y = _conv_reference(x, k, b).astype(x.dtype)
+        stats = _norm_stats_ref(y)
+        mean = stats[:, 0][:, None, None, :]
+        r = stats[:, 1][:, None, None, :]
+        yhat = (y.astype(jnp.float32) - mean) * r
+        out = (jnp.maximum(yhat, 0.0) if relu else yhat).astype(x.dtype)
+    else:
+        from flow_supervisor_tpu.kernels.norm import instance_norm_apply
+
+        y, stats = conv3x3_stats(x, k, b)
+        out = instance_norm_apply(y, stats, relu=relu)
+    return out, (x, k, b, y, stats)
+
+
+def _cin_fwd(x, k, b, relu):
+    return _cin_fwd_impl(x, k, b, relu)
+
+
+def _cin_bwd(relu, res, g):
+    x, k, b, y, stats = res
+    bsz, _, _, c = y.shape
+    mean = stats[:, 0][:, None, None, :]
+    r = stats[:, 1][:, None, None, :]
+    yhat = (y.astype(jnp.float32) - mean) * r
+    g32 = g.astype(jnp.float32)
+    if relu:
+        g32 = jnp.where(yhat > 0, g32, 0.0)
+    gm = jnp.mean(g32, axis=(1, 2), keepdims=True)
+    gym = jnp.mean(g32 * yhat, axis=(1, 2), keepdims=True)
+    dy = (r * (g32 - gm - yhat * gym)).astype(y.dtype)
+
+    def conv_only(x_, k_, b_):
+        return _conv_reference(x_, k_, b_).astype(y.dtype)
+
+    _, vjp = jax.vjp(conv_only, x, k, b)
+    return vjp(dy)
+
+
+conv3x3_instnorm_relu.defvjp(_cin_fwd, _cin_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

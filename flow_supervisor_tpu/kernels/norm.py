@@ -144,6 +144,39 @@ def _norm_impl(x, eps, relu, interpret=None):
     return y.reshape(b, h, w, c), stats
 
 
+def instance_norm_apply(x, stats, relu: bool = False, interpret=None):
+    """Apply-only instance norm: normalize x by precomputed per-(sample,
+    channel) (mean, rsqrt) stats — e.g. from conv3x3_stats' free epilogue —
+    in ONE read + one write (no stats pass). Forward-only building block;
+    lane-packs like the fused kernel."""
+    interpret = _auto_interpret(interpret)
+    b, h, w, c = x.shape
+    m = h * w
+    pack = 128 // c if (c < 128 and 128 % c == 0) else 1
+    while pack > 1 and m % pack != 0:
+        pack //= 2
+    mp, cp = m // pack, c * pack
+    xm = x.reshape(b, mp, cp)
+    stats_packed = jnp.tile(stats.astype(jnp.float32), (1, 1, pack))
+    tm = _pick_tm(mp)
+    nm = (mp + tm - 1) // tm
+    y = pl.pallas_call(
+        functools.partial(_apply_kernel, relu=relu),
+        grid=(b, nm),
+        in_specs=[
+            pl.BlockSpec((1, tm, cp), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cp), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, cp), lambda b_, i: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, mp, cp), x.dtype),
+        interpret=interpret,
+    )(xm, stats_packed)
+    return y.reshape(b, h, w, c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def instance_norm_fused(x, eps: float = 1e-5, relu: bool = False):
     """Affine-free instance norm (optionally + relu) over [B, H, W, C]."""

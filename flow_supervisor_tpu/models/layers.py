@@ -55,18 +55,58 @@ def _pad_for(k_size) -> Sequence[tuple[int, int]]:
     return ((kh // 2, kh // 2), (kw // 2, kw // 2))
 
 
+class _FusedConvNormParams(nn.Module):
+    """Param holder (kernel/bias, nn.Conv-compatible names/shapes/inits) that
+    computes conv3x3 -> instance norm -> relu through the fused pallas pair
+    (kernels/conv3x3.py conv3x3_instnorm_relu). Instantiated with
+    name="Conv_0" inside ExtractorConv so the parameter tree is IDENTICAL to
+    the nn.Conv path (checkpoints/converters/parity tests unaffected)."""
+
+    c_in: int
+    c_out: int
+    dtype: jnp.dtype
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", extractor_kernel_init(), (3, 3, self.c_in, self.c_out),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", conv_bias_init(self.c_in, 3), (self.c_out,), jnp.float32
+        )
+        from flow_supervisor_tpu.kernels.conv3x3 import conv3x3_instnorm_relu
+
+        return conv3x3_instnorm_relu(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.relu,
+        )
+
+
 class ExtractorConv(nn.Module):
-    """Conv with He-normal fan-out kernel init and torch-style explicit padding."""
+    """Conv with He-normal fan-out kernel init and torch-style explicit padding.
+
+    ``fuse_instance_norm_relu=True`` (3x3 stride-1 only) computes
+    conv -> affine-free instance norm -> relu as one fused pallas pair —
+    the caller must then SKIP its Norm(...) call. The norm has no
+    parameters, so the parameter tree is unchanged either way."""
 
     c_in: int
     c_out: int
     k_size: int | tuple[int, int]
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fuse_instance_norm_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
         ks = self.k_size if isinstance(self.k_size, tuple) else (self.k_size, self.k_size)
+        if self.fuse_instance_norm_relu:
+            assert ks == (3, 3) and self.stride == 1
+            return _FusedConvNormParams(
+                self.c_in, self.c_out, self.dtype, relu=True, name="Conv_0"
+            )(x)
         if ks == (7, 7) and self.stride == 2 and self.c_in <= 4:
             # encoder stem: XLA's own space-to-depth conv emitter at batch 1-2
             # picks interleaved layouts that poison the stem norm/relu and the

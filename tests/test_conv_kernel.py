@@ -67,3 +67,49 @@ def test_vjp_matches_xla_conv_grads():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=1e-4)
+
+
+def test_conv_stats_epilogue_matches_norm_stats():
+    from flow_supervisor_tpu.kernels.conv3x3 import conv3x3_stats
+    from flow_supervisor_tpu.kernels.norm import instance_norm_apply, instance_norm_fused
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 64)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    y, st = conv3x3_stats(x, k, bias, interpret=True)
+    out = instance_norm_apply(y, st, relu=True, interpret=True)
+    ref = instance_norm_fused(_conv_reference(x, k, bias).astype(jnp.float32),
+                              relu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_conv_instnorm_relu_fwd_and_grad_match_composition():
+    """The integrated pair (custom VJP: closed-form norm backward + conv
+    transpose) must match autodiff of the plain XLA composition."""
+    from flow_supervisor_tpu.kernels.conv3x3 import (
+        conv3x3_instnorm_relu,
+        _norm_stats_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 32, 32)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.2, (32,)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 32)), jnp.float32)
+
+    def comp(x_, k_, b_):
+        y = _conv_reference(x_, k_, b_)
+        mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
+        return jnp.maximum((y - mean) * jax.lax.rsqrt(var + 1e-5), 0.0)
+
+    out = conv3x3_instnorm_relu(x, k, bias, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(comp(x, k, bias)),
+                               atol=2e-5)
+    f = lambda *a: jnp.vdot(conv3x3_instnorm_relu(*a, True), g)
+    fr = lambda *a: jnp.vdot(comp(*a), g)
+    for got, want in zip(jax.grad(f, (0, 1, 2))(x, k, bias),
+                         jax.grad(fr, (0, 1, 2))(x, k, bias)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)

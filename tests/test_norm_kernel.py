@@ -77,19 +77,23 @@ def test_model_forward_fused_norm_matches():
     v = enc_ref.init(jax.random.PRNGKey(0), x, train=False)
     ref = enc_ref.apply(v, x, train=False)
 
+    import flow_supervisor_tpu.kernels.conv3x3 as conv_mod
     import flow_supervisor_tpu.kernels.norm as norm_mod
     import flow_supervisor_tpu.models.layers as layers_mod
 
-    # route Norm to the kernel on this CPU backend, but keep the kernel
-    # itself in interpret mode
+    # route Norm AND the fused conv+norm pairs to the kernels on this CPU
+    # backend, but keep the kernels themselves in interpret mode
     orig_backend = layers_mod.jax.default_backend
     orig_interp = norm_mod._auto_interpret
+    orig_cinterp = conv_mod._auto_interpret
     layers_mod.jax.default_backend = lambda: "tpu"
     norm_mod._auto_interpret = lambda interpret: True
+    conv_mod._auto_interpret = lambda interpret: True
     try:
         enc = BasicEncoder(64, "instance", 0.0, jnp.float32, True)
         got = enc.apply(v, x, train=False)
     finally:
         layers_mod.jax.default_backend = orig_backend
         norm_mod._auto_interpret = orig_interp
+        conv_mod._auto_interpret = orig_cinterp
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
