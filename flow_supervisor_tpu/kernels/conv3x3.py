@@ -236,7 +236,10 @@ def conv3x3_instnorm_relu(x, k, b, relu: bool = True):
 
 
 def _cin_fwd_impl(x, k, b, relu):
-    if _auto_interpret(None):  # non-TPU: pure-XLA composition, same numerics
+    # the pallas pair needs a sublane-aligned width (w % 8; recipe shapes
+    # like 400x720 give stage-2/3 widths 180/90) — identical-numerics XLA
+    # composition everywhere else
+    if _auto_interpret(None) or x.shape[2] % 8 != 0:
         y = _conv_reference(x, k, b).astype(x.dtype)
         stats = _norm_stats_ref(y)
         mean = stats[:, 0][:, None, None, :]

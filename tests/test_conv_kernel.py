@@ -113,3 +113,22 @@ def test_conv_instnorm_relu_fwd_and_grad_match_composition():
                          jax.grad(fr, (0, 1, 2))(x, k, bias)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4)
+
+
+def test_conv_instnorm_falls_back_at_unaligned_width(monkeypatch):
+    """Recipe shapes (400x720) give stage widths 180/90 — not sublane
+    aligned. The integrated pair must fall back to the XLA composition
+    instead of asserting (regression: crashed the semi train step on TPU)."""
+    import flow_supervisor_tpu.kernels.conv3x3 as conv_mod
+
+    monkeypatch.setattr(conv_mod, "_auto_interpret", lambda i: False)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 20, 32)), jnp.float32)  # w=20
+    k = jnp.asarray(rng.normal(0, 0.2, (3, 3, 32, 32)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.2, (32,)), jnp.float32)
+    out = conv_mod.conv3x3_instnorm_relu(x, k, bias, True)
+    y = _conv_reference(x, k, bias)
+    mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
+    ref = jnp.maximum((y - mean) * jax.lax.rsqrt(var + 1e-5), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
