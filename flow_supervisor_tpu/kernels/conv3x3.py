@@ -271,8 +271,14 @@ def _cin_bwd(relu, res, g):
     gym = jnp.mean(g32 * yhat, axis=(1, 2), keepdims=True)
     dy = (r * (g32 - gm - yhat * gym)).astype(y.dtype)
 
+    # dtype-uniform conv for the transpose (a preferred_element_type=f32
+    # conv's vjp hands an f32 cotangent to a bf16 transposed conv — XLA
+    # rejects the mix); accumulation still happens in the MXU's f32.
     def conv_only(x_, k_, b_):
-        return _conv_reference(x_, k_, b_).astype(y.dtype)
+        return jax.lax.conv_general_dilated(
+            x_, k_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_
 
     _, vjp = jax.vjp(conv_only, x, k, b)
     return vjp(dy)
@@ -299,7 +305,10 @@ def _conv_bwd(relu, res, g):
     x, k, b = res
 
     def ref(x_, k_, b_):
-        y = _conv_reference(x_, k_, b_)
+        y = jax.lax.conv_general_dilated(
+            x_, k_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_  # dtype-uniform: see _cin_bwd
         if relu:
             y = jnp.maximum(y, 0.0)
         return y.astype(g.dtype)
