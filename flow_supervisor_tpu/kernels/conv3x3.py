@@ -236,16 +236,25 @@ def conv3x3_instnorm_relu(x, k, b, relu: bool = True):
 
 
 def _cin_fwd_impl(x, k, b, relu):
-    # the pallas pair needs a sublane-aligned width (w % 8; recipe shapes
-    # like 400x720 give stage-2/3 widths 180/90) — identical-numerics XLA
-    # composition everywhere else
-    if _auto_interpret(None) or x.shape[2] % 8 != 0:
+    if _auto_interpret(None):
+        # non-TPU: pure-XLA composition, same numerics
         y = _conv_reference(x, k, b).astype(x.dtype)
         stats = _norm_stats_ref(y)
         mean = stats[:, 0][:, None, None, :]
         r = stats[:, 1][:, None, None, :]
         yhat = (y.astype(jnp.float32) - mean) * r
         out = (jnp.maximum(yhat, 0.0) if relu else yhat).astype(x.dtype)
+    elif x.shape[2] % 8 != 0:
+        # the pallas CONV pair needs a sublane-aligned width (recipe shapes
+        # like 400x720 give stage-2/3 widths 180/90): fall back to exactly
+        # the pre-fusion path — XLA conv + the two-pass pallas norm. (An
+        # XLA-reduce norm here cost the semi train step 40 ms/step: the
+        # layout-sandwich problem the norm kernel exists to avoid.)
+        from flow_supervisor_tpu.kernels.norm import _norm_impl
+
+        y = _conv_reference(x, k, b).astype(x.dtype)
+        out, stats_n = _norm_impl(y, 1e-5, relu)
+        stats = stats_n  # [B, 2, C] (mean, rsqrt) — same layout
     else:
         from flow_supervisor_tpu.kernels.norm import instance_norm_apply
 
